@@ -1,0 +1,28 @@
+"""distill_spark — a from-scratch PySpark-native near-duplicate detection
+and clustering engine with the query/data-processing capabilities of
+CrazyForks/distill (reference read-only at /root/reference; cited by
+file:line in docstrings).
+
+NOT a port: the reference is a single-node Go engine built on exact
+O(N^2) distance matrices (pkg/contextlab/cluster.go:217-242) and
+full-table dedup scans (pkg/memory/sqlite.go:243-279). This package
+re-expresses the same semantics as declarative DataFrame plans that
+survive 10^12-row inputs: MinHash/LSH banding, SimHash + Hamming-ball
+block joins, winnowing + suffix-array LCS verification, and
+connected-components clustering over edge DataFrames.
+
+Layout:
+  session.py            SparkSession factory (AQE, Arrow, skew-join on)
+  config.py             DedupConfig — shingle/signature/band/threshold knobs
+  datagen.py            deterministic synthetic images(image_id, bytes, w,
+                        h, fmt, caption, phash) tables with planted dups
+  oracle.py             brute-force exact oracle (union-find) at test scale
+  operators/            the dedup pipeline stages (each DataFrame->DataFrame)
+  functions/            scalar/columnar function library (text, scoring,
+                        sensitivity, hashing, vectors)
+  checkpoint.py         stage ledger + parquet checkpoint store (Iceberg
+                        writer gated behind import-try; jars not in image)
+  streaming/            foreachBatch-style incremental ingest
+"""
+
+__version__ = "0.1.0"

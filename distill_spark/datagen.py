@@ -1,0 +1,299 @@
+"""Deterministic synthetic images(image_id, bytes, w, h, fmt, caption,
+phash) generator with planted duplicate structure.
+
+Mirrors the reference's fixture strategy: exact-equal + eps-perturbed
+vectors (/root/reference/testdata/sample.jsonl: vec1==vec2,
+vec3=vec1+0.001) and angle-parameterized embeddings planted at exact
+distances inside/outside the dup/conflict thresholds
+(/root/reference/pkg/memory/memory_test.go:12-17,
+pkg/memory/conflict_test.go:18-118). Our analogs per channel:
+
+  exact dup        identical caption + pixels + phash, new id
+  caption near-dup token-edited caption with controlled shingle Jaccard
+                   (positives just above threshold, negatives below)
+  phash near-dup   copy pixels + tiny noise, flip exactly j phash bits
+                   (j <= k positive, j > k negative)
+  substring dup    caption A is an exact substring of caption B
+  transitive chain A~B, B~C near-dups, A!~C directly (single linkage)
+  hot bucket       many rows sharing one caption prefix (skew test)
+  singleton        unique caption + unique phash (precision test)
+
+Everything is seeded; pixel payloads are raw RGB8 (w*h*3 bytes) so the
+PSNR fidelity check needs no image codec. phash is a real 8x8
+average-hash of the pixels (then explicitly bit-flipped for planted
+phash near-dups).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("caption", T.StringType(), True),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def average_hash(pixels: np.ndarray) -> int:
+    """64-bit average hash: grayscale -> 8x8 block means -> bit = mean>global."""
+    h, w, _ = pixels.shape
+    gray = pixels.astype(np.float64).mean(axis=2)
+    bh, bw = max(h // 8, 1), max(w // 8, 1)
+    blocks = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).flatten()
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    return val - (1 << 64) if val >= (1 << 63) else val  # signed int64
+
+
+def _flip_bits(phash: int, n: int, rng: np.random.Generator) -> int:
+    u = np.uint64(phash % (1 << 64))
+    for pos in rng.choice(64, size=n, replace=False):
+        u ^= np.uint64(1) << np.uint64(pos)
+    v = int(u)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+@dataclass
+class PlantedTruth:
+    """Ground-truth dup pairs/groups planted by generate_images."""
+
+    dup_groups: list[list[str]] = field(default_factory=list)  # true clusters
+    negatives: list[tuple[str, str]] = field(default_factory=list)
+
+    def dup_pairs(self) -> set[tuple[str, str]]:
+        pairs: set[tuple[str, str]] = set()
+        for g in self.dup_groups:
+            for i in range(len(g)):
+                for j in range(i + 1, len(g)):
+                    a, b = sorted((g[i], g[j]))
+                    pairs.add((a, b))
+        return pairs
+
+
+def _caption(rng: np.random.Generator, n_tokens: int, vocab: int = 5000) -> list[str]:
+    return [f"tok{v:05d}" for v in rng.integers(0, vocab, size=n_tokens)]
+
+
+def _edit_tokens(
+    tokens: list[str], n_swap: int, rng: np.random.Generator, vocab: int = 5000
+) -> list[str]:
+    out = list(tokens)
+    idx = rng.choice(len(out), size=min(n_swap, len(out)), replace=False)
+    for i in idx:
+        out[i] = f"tok{rng.integers(0, vocab):05d}"
+    return out
+
+
+def _negative_of(tokens: list[str], rng: np.random.Generator, vocab: int = 5000) -> list[str]:
+    """A caption guaranteed non-dup of `tokens` under all three channels:
+    replace every other token, so no run of >= 2 consecutive original
+    tokens survives (kills shingle Jaccard AND any >= 24-char common
+    substring), and shuffle nothing else.
+    """
+    out = list(tokens)
+    for i in range(0, len(out), 2):
+        out[i] = f"tok{rng.integers(0, vocab):05d}"
+    return out
+
+
+def _pixels(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _noisy(pixels: np.ndarray, rng: np.random.Generator, amp: int = 1) -> np.ndarray:
+    """Additive noise of amplitude `amp` -> PSNR ~= 20*log10(255/amp) >= 48dB."""
+    noise = rng.integers(-amp, amp + 1, size=pixels.shape, dtype=np.int16)
+    return np.clip(pixels.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+
+
+def generate_images_pdf(
+    n: int = 1000, seed: int = 42, w: int = 16, h: int = 16
+) -> tuple[pd.DataFrame, PlantedTruth]:
+    """Generate n rows as a pandas DataFrame + planted ground truth.
+
+    Roughly: 10% exact dups, 10% caption near-dups (+negative twins),
+    10% phash near-dups (+negative twins), 5% substring dups, 5%
+    transitive chains, 10% hot-bucket rows, rest singletons.
+    """
+    rng = np.random.default_rng(seed)
+    truth = PlantedTruth()
+    rows: list[dict] = []
+    next_id = [0]
+
+    def add_row(tokens: list[str], pixels: np.ndarray, phash: int | None = None) -> str:
+        iid = f"img{next_id[0]:08d}"
+        next_id[0] += 1
+        rows.append(
+            {
+                "image_id": iid,
+                "bytes": pixels.tobytes(),
+                "w": pixels.shape[1],
+                "h": pixels.shape[0],
+                "fmt": "rgb8",
+                "caption": " ".join(tokens),
+                "phash": average_hash(pixels) if phash is None else phash,
+            }
+        )
+        return iid
+
+    n_exact = n // 10
+    n_capdup = n // 10
+    n_phash = n // 10
+    n_substr = n // 20
+    n_chain = n // 20
+    n_hot = n // 10
+
+    # exact dups (pairs)
+    for _ in range(n_exact // 2):
+        toks = _caption(rng, int(rng.integers(8, 40)))
+        px = _pixels(rng, w, h)
+        a = add_row(toks, px)
+        b = add_row(toks, px.copy())
+        truth.dup_groups.append([a, b])
+
+    # caption near-dups: positive twin above Jaccard threshold, negative below.
+    # For token 3-shingles on an L-token caption, swapping s interior tokens
+    # kills <= 3s shingles on each side; Jaccard >= (L-2-3s)/(L-2+3s).
+    for _ in range(n_capdup // 2):
+        length = int(rng.integers(24, 40))
+        toks = _caption(rng, length)
+        px = _pixels(rng, w, h)
+        a = add_row(toks, px)
+        b = add_row(_edit_tokens(toks, 1, rng), _noisy(px, rng))
+        truth.dup_groups.append([a, b])
+        # negative: every-other-token rewrite, below threshold on all channels
+        neg = add_row(_negative_of(toks, rng), _pixels(rng, w, h))
+        truth.negatives.append(tuple(sorted((a, neg))))
+
+    # phash near-dups: same pixels + noise, phash flipped j bits
+    for i in range(n_phash // 2):
+        toks = _caption(rng, int(rng.integers(8, 40)))
+        px = _pixels(rng, w, h)
+        a = add_row(toks, px)
+        base_phash = rows[-1]["phash"]
+        j_pos = int(rng.integers(0, 4))  # <= k=4
+        b = add_row(
+            _caption(rng, int(rng.integers(8, 40))),
+            _noisy(px, rng),
+            phash=_flip_bits(base_phash, j_pos, rng),
+        )
+        truth.dup_groups.append([a, b])
+        neg = add_row(
+            _caption(rng, int(rng.integers(8, 40))),
+            _pixels(rng, w, h),
+            phash=_flip_bits(base_phash, 24, rng),
+        )
+        truth.negatives.append(tuple(sorted((a, neg))))
+
+    # substring dups: caption(A) is an exact substring of caption(B)
+    for _ in range(n_substr // 2):
+        core = _caption(rng, int(rng.integers(10, 20)))
+        prefix = _caption(rng, int(rng.integers(3, 8)))
+        suffix = _caption(rng, int(rng.integers(3, 8)))
+        px = _pixels(rng, w, h)
+        a = add_row(core, px)
+        b = add_row(prefix + core + suffix, _pixels(rng, w, h))
+        truth.dup_groups.append([a, b])
+
+    # transitive chains A~B~C (caption edits), A vs C below threshold alone
+    for _ in range(n_chain // 3):
+        length = int(rng.integers(30, 40))
+        t_a = _caption(rng, length)
+        t_b = _edit_tokens(t_a, 1, rng)
+        t_c = _edit_tokens(t_b, 1, rng)
+        px = _pixels(rng, w, h)
+        a = add_row(t_a, px)
+        b = add_row(t_b, _noisy(px, rng))
+        c = add_row(t_c, _noisy(px, rng))
+        truth.dup_groups.append([a, b, c])
+
+    # hot bucket: shared 6-token prefix (>= lcs_min_len chars of exact common
+    # substring, so under single-linkage LCS semantics this IS one giant true
+    # cluster) + unique tails. Exercises oversized-bucket star topology + skew.
+    hot_prefix = _caption(rng, 6)
+    hot_group = [
+        add_row(hot_prefix + _caption(rng, int(rng.integers(20, 30))), _pixels(rng, w, h))
+        for _ in range(n_hot)
+    ]
+    if len(hot_group) > 1:
+        truth.dup_groups.append(hot_group)
+
+    # singletons
+    while next_id[0] < n:
+        add_row(_caption(rng, int(rng.integers(8, 40))), _pixels(rng, w, h))
+
+    return pd.DataFrame(rows), truth
+
+
+def generate_images(
+    spark: SparkSession, n: int = 1000, seed: int = 42, partitions: int = 8
+) -> tuple[DataFrame, PlantedTruth]:
+    pdf, truth = generate_images_pdf(n=n, seed=seed)
+    df = spark.createDataFrame(pdf, schema=IMAGES_SCHEMA).repartition(partitions, "image_id")
+    return df, truth
+
+
+def images_from_documents(
+    spark: SparkSession, sf_dir: str, with_payload: bool = False, seed: int = 42
+) -> DataFrame:
+    """Derive a deterministic images table from the driver-provided
+    documents.parquet (caption := text). Payload pixels/phash are seeded
+    by doc_id so the table is reproducible without external data.
+    """
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    base = docs.select(
+        F.format_string("img%08d", F.col("doc_id")).alias("image_id"),
+        F.col("text").alias("caption"),
+        F.col("doc_id"),
+    )
+    if not with_payload:
+        # phash stand-in: deterministic 64-bit hash of doc content
+        return base.select(
+            "image_id",
+            F.lit(None).cast("binary").alias("bytes"),
+            F.lit(16).alias("w"),
+            F.lit(16).alias("h"),
+            F.lit("none").alias("fmt"),
+            "caption",
+            F.xxhash64(F.col("caption")).alias("phash"),
+        )
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                rng = np.random.default_rng(seed + int(r.doc_id))
+                px = _pixels(rng, 16, 16)
+                out.append(
+                    {
+                        "image_id": r.image_id,
+                        "bytes": px.tobytes(),
+                        "w": 16,
+                        "h": 16,
+                        "fmt": "rgb8",
+                        "caption": r.caption,
+                        "phash": average_hash(px),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(gen, schema=IMAGES_SCHEMA)

@@ -1,0 +1,3 @@
+from .util import let1
+
+__all__ = ["let1"]

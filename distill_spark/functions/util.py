@@ -1,0 +1,23 @@
+"""Expression-level utilities.
+
+let1: a SQL "let binding". Catalyst's CollapseProject substitutes a
+projected column's defining expression into every downstream reference
+— catastrophic when the reference sits inside a per-element lambda of
+transform()/aggregate() (the definition is then re-evaluated once per
+array element; observed 100x+ blowup on the winnowing operator).
+Wrapping the definition as the sole element of an array and binding it
+through a higher-order-function lambda variable makes it a named value
+Catalyst evaluates exactly once per row.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def let1(value: Column, body: Callable[[Column], Column]) -> Column:
+    """Evaluate `value` once per row, bind it as a lambda var in `body`."""
+    return F.element_at(F.transform(F.array(value), body), 1)

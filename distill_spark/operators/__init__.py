@@ -1,0 +1,27 @@
+from .shingle import with_tokens, with_shingles
+from .minhash import with_minhash, band_buckets
+from .lsh import pairs_from_buckets
+from .simhash import with_simhash
+from .hamming import hamming_candidate_pairs, verify_hamming
+from .verify import verify_jaccard, verify_lcs
+from .components import connected_components
+from .select import representatives, cluster_stats
+from .pipeline import dedupe, DedupResult
+
+__all__ = [
+    "with_tokens",
+    "with_shingles",
+    "with_minhash",
+    "band_buckets",
+    "pairs_from_buckets",
+    "with_simhash",
+    "hamming_candidate_pairs",
+    "verify_hamming",
+    "verify_jaccard",
+    "verify_lcs",
+    "connected_components",
+    "representatives",
+    "cluster_stats",
+    "dedupe",
+    "DedupResult",
+]

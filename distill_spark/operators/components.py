@@ -1,0 +1,94 @@
+"""Connected components over an edge DataFrame — the clustering step.
+
+Single-linkage agglomerative clustering at threshold t (reference
+/root/reference/pkg/contextlab/cluster.go:65-214, O(N^3) merge loop per
+FAQ.md:73) is exactly connected components of the "similarity >= t"
+graph, so we match the reference's cluster semantics with a distributed
+algorithm: iterative hash-min label propagation with pointer jumping
+(the large-star/small-star family; converges in O(log diameter)
+rounds). Deterministic: component id = min member id (total order on
+string ids).
+
+Per-iteration localCheckpoint() cuts lineage (SURVEY.md §7.3 risk (b):
+CC lineage blowup) and materializes the frontier so the convergence
+check (an aggregate) doesn't recompute the whole history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig, DEFAULT
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    id_col: str = "image_id",
+    out_col: str = "component",
+    cfg: DedupConfig = DEFAULT,
+) -> DataFrame:
+    """edges(a, b) [+ optional nodes(id_col) incl. singletons]
+    -> (id_col, out_col) where out_col = min id of the component.
+    """
+    sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    edge_nodes = sym.select(F.col("u").alias("node")).distinct()
+    if nodes is not None:
+        all_nodes = (
+            nodes.select(F.col(id_col).alias("node")).distinct().unionByName(edge_nodes).distinct()
+        )
+    else:
+        all_nodes = edge_nodes
+
+    labels = all_nodes.withColumn("label", F.col("node"))
+    labels = labels.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+
+    for _ in range(cfg.cc_max_iters):
+        # hash-min: candidate label for v = min label among neighbors
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "u"), "u")
+            .groupBy("v")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("v", "node")
+        )
+        stepped = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # pointer jumping: label <- label(label)  (min-labels only shrink)
+        parents = stepped.select(
+            F.col("node").alias("plabel_node"), F.col("label").alias("plabel")
+        )
+        jumped = (
+            stepped.join(
+                parents, stepped["label"] == parents["plabel_node"], "left"
+            )
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("plabel", F.col("label"))).alias(
+                    "new_label"
+                ),
+            )
+        )
+        jumped = jumped.localCheckpoint(eager=True)
+
+        changed = (
+            jumped.join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped.withColumnRenamed("new_label", "label")
+        if changed == 0:
+            break
+
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias(out_col))

@@ -1,0 +1,87 @@
+"""Hamming-ball candidate join over 64-bit signatures (phash / simhash).
+
+Pigeonhole block join: to find all pairs with Hamming distance <= k,
+split the 64 bits into k+1 contiguous blocks — any pair within
+distance k agrees EXACTLY on at least one block (pigeonhole), so an
+equi-join per block has guaranteed recall 1.0; the exact
+`bit_count(a ^ b) <= k` filter then makes precision exact too
+(bit_count / ^ are built-in Spark SQL functions — no UDF).
+
+Replaces the reference's full-scan write-time dedup probe
+(/root/reference/pkg/memory/sqlite.go:243-279 — the author's own TODO
+asks for exactly this kind of index) and its brute-force distance
+matrix for the image channel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig, DEFAULT
+from .lsh import pairs_from_buckets
+
+
+def _block_bounds(bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """[(offset, width)] covering `bits` bits in n_blocks near-equal blocks."""
+    base, rem = divmod(bits, n_blocks)
+    bounds = []
+    off = 0
+    for i in range(n_blocks):
+        wdt = base + (1 if i < rem else 0)
+        bounds.append((off, wdt))
+        off += wdt
+    return bounds
+
+
+def block_buckets(
+    df: DataFrame, value_col: str, k: int, id_col: str = "image_id", bits: int = 64
+) -> DataFrame:
+    """(id, value) -> (id, blk: int, blkval: bigint) — one row per block."""
+    bounds = _block_bounds(bits, k + 1)
+    pieces = [
+        F.struct(
+            F.lit(i).alias("blk"),
+            F.shiftrightunsigned(F.col(value_col), off)
+            .bitwiseAND(F.lit((1 << wdt) - 1))
+            .alias("blkval"),
+        )
+        for i, (off, wdt) in enumerate(bounds)
+    ]
+    return df.select(
+        id_col, F.explode(F.array(*pieces)).alias("p")
+    ).select(id_col, F.col("p.blk").alias("blk"), F.col("p.blkval").alias("blkval"))
+
+
+def hamming_candidate_pairs(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    id_col: str = "image_id",
+    cfg: DedupConfig = DEFAULT,
+) -> DataFrame:
+    """All candidate (a, b) pairs possibly within Hamming distance k."""
+    buckets = block_buckets(df, value_col, k, id_col=id_col)
+    return pairs_from_buckets(buckets, ["blk", "blkval"], id_col=id_col, cfg=cfg)
+
+
+def hamming_dist(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def verify_hamming(
+    pairs: DataFrame,
+    values: DataFrame,
+    value_col: str,
+    k: int,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Exact filter: keep pairs with bit_count(va ^ vb) <= k."""
+    va = values.select(F.col(id_col).alias("a"), F.col(value_col).alias("_va"))
+    vb = values.select(F.col(id_col).alias("b"), F.col(value_col).alias("_vb"))
+    return (
+        pairs.join(va, "a")
+        .join(vb, "b")
+        .filter(hamming_dist(F.col("_va"), F.col("_vb")) <= k)
+        .select("a", "b")
+    )

@@ -1,0 +1,76 @@
+"""Candidate-pair generation from bucket tables, with explicit skew
+handling.
+
+Input: any (id, bucket-key...) table — MinHash band buckets, SimHash
+pigeonhole blocks, or winnowing fingerprints. Output: distinct
+candidate pairs (a, b) with a < b.
+
+Skew strategy (north rule: "salted repartitioning breaks hot LSH
+buckets"):
+  * buckets with size <= cfg.max_bucket_size: all-pairs via bucket-key
+    self-join (AQE skew-join splits any remaining hot shuffle
+    partitions at runtime).
+  * oversized buckets: STAR topology — every member pairs with the
+    bucket's min id only. O(m) pairs instead of O(m^2). Under
+    single-linkage semantics a bucket whose members are genuine dups
+    still collapses to one component through the hub; the verify stage
+    keeps precision exact either way. Star pairs are additionally
+    salted (repartition by hash(a,b)) so one giant bucket's verify work
+    spreads across all tasks instead of one.
+
+Bucket-size accounting rides a window count (single shuffle, reused by
+both branches); per-bucket collision metrics are exposed via
+bucket_stats() for the metrics ledger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig, DEFAULT
+
+
+def pairs_from_buckets(
+    buckets: DataFrame,
+    key_cols: list[str],
+    id_col: str = "image_id",
+    cfg: DedupConfig = DEFAULT,
+) -> DataFrame:
+    """-> DataFrame[a: string, b: string], distinct, a < b."""
+    w = Window.partitionBy(*key_cols)
+    sized = buckets.withColumn("_bsz", F.count(F.lit(1)).over(w)).withColumn(
+        "_bmin", F.min(id_col).over(w)
+    )
+
+    small = sized.filter(
+        (F.col("_bsz") > 1) & (F.col("_bsz") <= cfg.max_bucket_size)
+    ).select(*key_cols, id_col)
+    left = small.select(*key_cols, F.col(id_col).alias("a"))
+    right = small.select(*key_cols, F.col(id_col).alias("b"))
+    small_pairs = left.join(right, key_cols).filter(F.col("a") < F.col("b")).select(
+        "a", "b"
+    )
+
+    big_pairs = (
+        sized.filter(F.col("_bsz") > cfg.max_bucket_size)
+        .filter(F.col(id_col) != F.col("_bmin"))
+        .select(F.col("_bmin").alias("a"), F.col(id_col).alias("b"))
+    )
+    if cfg.salt_partitions:
+        big_pairs = big_pairs.repartition(cfg.salt_partitions, "a", "b")
+
+    return small_pairs.unionByName(big_pairs).dropDuplicates(["a", "b"])
+
+
+def bucket_stats(buckets: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Collision metrics per bucket-size decile: how skewed is the table?"""
+    sizes = buckets.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("bucket_size"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("bucket_size").alias("max_bucket"),
+        F.expr("percentile_approx(bucket_size, 0.99)").alias("p99_bucket"),
+        F.sum(
+            F.col("bucket_size") * (F.col("bucket_size") - 1) / 2
+        ).alias("candidate_pairs_upper_bound"),
+    )

@@ -1,0 +1,91 @@
+"""MinHash signatures + LSH band bucketing — entirely JVM-side.
+
+Replaces the reference's O(N^2) pairwise distance matrix
+(/root/reference/pkg/contextlab/cluster.go:217-242) as the candidate
+generator. Design choice (Spark-first): instead of a pandas UDF
+computing signatures per row, we EXPLODE shingles and compute the
+num_perm universal-hash permutations as `min()` AGGREGATES —
+map-side partial aggregation (partial min per partition) means the
+shuffle carries one row per (image, perm-block), all inside
+whole-stage codegen, zero Python.
+
+Universal hash: h_i(x) = (a_i * x32 + b_i) mod P with
+P = 4294967311 (prime > 2^32), x32 = shingle & 0xFFFFFFFF,
+a_i in [1, 2^30) so a*x fits in signed int64 (max ~2^62), b_i in
+[0, P). Seeded (cfg.minhash_seed) -> deterministic across runs and
+parallelism levels (north rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig, DEFAULT
+
+_P = 4294967311  # prime > 2^32
+_MASK32 = 0xFFFFFFFF
+
+
+def permutation_params(cfg: DedupConfig = DEFAULT) -> tuple[list[int], list[int]]:
+    rng = np.random.default_rng(cfg.minhash_seed)
+    a = rng.integers(1, 1 << 30, size=cfg.num_perm).tolist()
+    b = rng.integers(0, _P, size=cfg.num_perm).tolist()
+    return a, b
+
+
+def with_minhash(
+    df: DataFrame,
+    shingle_col: str = "shingles",
+    id_col: str = "image_id",
+    out: str = "minhash",
+    cfg: DedupConfig = DEFAULT,
+) -> DataFrame:
+    """(id, shingles) -> (id, minhash: array<bigint>[num_perm]).
+
+    Rows with empty shingle sets get no signature (dropped here; they can
+    only be exact-dups of other empties, handled by the exact channel).
+    """
+    a, b = permutation_params(cfg)
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(shingle_col).alias("sh"),
+    ).withColumn("x32", F.col("sh").bitwiseAND(F.lit(_MASK32)))
+    aggs = [
+        F.min((F.col("x32") * F.lit(a[i]) + F.lit(b[i])) % F.lit(_P)).alias(f"mh_{i}")
+        for i in range(cfg.num_perm)
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"mh_{i}") for i in range(cfg.num_perm)]).alias(out)
+    )
+
+
+def band_buckets(
+    sig: DataFrame,
+    minhash_col: str = "minhash",
+    id_col: str = "image_id",
+    cfg: DedupConfig = DEFAULT,
+) -> DataFrame:
+    """(id, minhash) -> (id, band: int, bucket: bigint).
+
+    bucket = xxhash64(band_index, r signature values of that band); the
+    band index is folded into the hash AND kept as a join column so
+    buckets from different bands never collide.
+    """
+    r = cfg.rows_per_band
+    bands = [
+        F.xxhash64(
+            F.lit(j), *[F.col(minhash_col)[j * r + i] for i in range(r)]
+        ).alias(f"band_{j}")
+        for j in range(cfg.bands)
+    ]
+    wide = sig.select(F.col(id_col), *bands)
+    stacked = wide.select(
+        id_col,
+        F.posexplode(F.array(*[F.col(f"band_{j}") for j in range(cfg.bands)])).alias(
+            "band", "bucket"
+        ),
+    )
+    return stacked

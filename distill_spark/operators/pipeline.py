@@ -1,0 +1,173 @@
+"""The full dedup pipeline: images -> cluster assignments + representatives.
+
+Reference lifecycle being reproduced (at 10^12 scale): POST /v1/dedupe
+(/root/reference/cmd/api.go:405-587): convert -> cluster (threshold
+0.15 single/average linkage, pkg/contextlab/cluster.go:65-214) ->
+select representative (selector.go:68-238) -> stats. Our plan:
+
+  images --(prune: id, caption, phash — NEVER bytes)-->
+    [caption channel]  shingle -> MinHash -> LSH bands -> candidate pairs
+    [simhash channel]  tokens -> SimHash -> pigeonhole blocks -> candidates
+    [phash channel]    pigeonhole blocks over stored phash -> candidates
+    [substring chan.]  winnowing fingerprints -> candidates
+  -> exact verify per channel (Jaccard / Hamming / LCS)  [precision = 1]
+  -> union -> edges
+  -> connected components (hash-min + pointer jumping)
+  -> representatives (deterministic window)
+
+Recall budget: phash + substring channels are recall-1.0 by
+construction (pigeonhole / winnowing guarantees); the caption channel's
+LSH S-curve at (b=32, r=4) gives P(candidate) >= 0.9998 at
+jaccard == threshold 0.70 — overall dup-pair recall >= 0.99 (north
+rule) with margin. The SimHash channel only ADDS candidates (still
+verified exactly), so it can only raise recall.
+
+`bytes` is joined back only at the very end, by id, if the caller asks
+for payloads — binary payloads never enter a shuffle (SURVEY.md §7.3
+risk (c)).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig, DEFAULT
+from .shingle import with_tokens, with_shingles
+from .minhash import with_minhash, band_buckets
+from .lsh import pairs_from_buckets
+from .simhash import with_simhash
+from .hamming import hamming_candidate_pairs, verify_hamming, block_buckets
+from .winnow import with_fingerprints
+from .verify import verify_jaccard, verify_lcs, conflict_band
+from .components import connected_components
+from .select import representatives, cluster_stats
+
+
+@dataclass
+class DedupResult:
+    assignments: DataFrame      # (image_id, component)
+    representatives: DataFrame  # one row per component
+    edges: DataFrame            # verified dup pairs (a, b)
+    conflicts: DataFrame | None # band pairs (a, b, jaccard)
+    stats: DataFrame            # 1-row counts/reduction
+
+
+def candidate_edges(
+    meta: DataFrame,
+    cfg: DedupConfig = DEFAULT,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+    phash_col: str | None = "phash",
+    channels: tuple[str, ...] = ("minhash", "simhash", "phash", "substring"),
+) -> tuple[DataFrame, DataFrame]:
+    """meta(id, caption[, phash]) -> (verified edges(a,b), jaccard candidates).
+
+    Returns the union of exact-verified edges from all enabled channels,
+    plus the raw caption-channel candidate set (for conflict banding).
+    """
+    from .shingle import tokens_col, shingles_col
+
+    shingled = (
+        meta.select(id_col, caption_col)
+        .withColumn("tokens", tokens_col(caption_col, cfg))
+        .withColumn("shingles", shingles_col(F.col("tokens"), cfg))
+        .select(id_col, "tokens", "shingles")
+    )
+
+    edge_parts: list[DataFrame] = []
+    cap_candidates: list[DataFrame] = []
+
+    if "minhash" in channels:
+        sig = with_minhash(shingled, "shingles", id_col, "minhash", cfg)
+        buckets = band_buckets(sig, "minhash", id_col, cfg)
+        cap_candidates.append(
+            pairs_from_buckets(buckets, ["band", "bucket"], id_col, cfg)
+        )
+
+    if "simhash" in channels:
+        sh = with_simhash(shingled.select(id_col, "tokens"), "tokens", id_col, "simhash", cfg)
+        cap_candidates.append(
+            hamming_candidate_pairs(sh, "simhash", cfg.simhash_hamming_k, id_col, cfg)
+        )
+
+    jac_cand = None
+    if cap_candidates:
+        jac_cand = cap_candidates[0]
+        for c in cap_candidates[1:]:
+            jac_cand = jac_cand.unionByName(c)
+        jac_cand = jac_cand.dropDuplicates(["a", "b"])
+        edge_parts.append(
+            verify_jaccard(
+                jac_cand, shingled.select(id_col, "shingles"),
+                cfg.jaccard_threshold, "shingles", id_col,
+            )
+        )
+
+    if "phash" in channels and phash_col is not None:
+        ph = meta.select(id_col, phash_col)
+        cand = hamming_candidate_pairs(ph, phash_col, cfg.phash_hamming_k, id_col, cfg)
+        edge_parts.append(verify_hamming(cand, ph, phash_col, cfg.phash_hamming_k, id_col))
+
+    if "substring" in channels:
+        fp = with_fingerprints(meta.select(id_col, caption_col), caption_col, "fp", cfg)
+        fpx = fp.select(id_col, F.explode("fp").alias("fingerprint"))
+        cand = pairs_from_buckets(fpx, ["fingerprint"], id_col, cfg)
+        edge_parts.append(
+            verify_lcs(cand, meta.select(id_col, caption_col), cfg, caption_col, id_col)
+        )
+
+    if not edge_parts:
+        raise ValueError("no channels enabled")
+    edges = edge_parts[0]
+    for e in edge_parts[1:]:
+        edges = edges.unionByName(e)
+    edges = edges.dropDuplicates(["a", "b"])
+    empty_pairs = meta.sparkSession.createDataFrame([], "a string, b string")
+    return edges, (jac_cand if jac_cand is not None else empty_pairs)
+
+
+def dedupe(
+    images: DataFrame,
+    cfg: DedupConfig = DEFAULT,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+    phash_col: str | None = "phash",
+    channels: tuple[str, ...] = ("minhash", "simhash", "phash", "substring"),
+    rep_strategy: str | None = None,
+    with_conflicts: bool = False,
+) -> DedupResult:
+    # column-pruning discipline: only (id, caption, phash) go downstream
+    cols = [id_col, caption_col] + ([phash_col] if phash_col else [])
+    meta = images.select(*cols)
+
+    edges, jac_cand = candidate_edges(meta, cfg, id_col, caption_col, phash_col, channels)
+    # edges feed CC (which materializes them via checkpoint) AND are part of
+    # the result — persist so user actions on result.edges don't re-run the
+    # whole candidate+verify DAG.
+    edges = edges.persist()
+
+    assignments = connected_components(edges, nodes=meta.select(id_col), id_col=id_col, cfg=cfg)
+
+    reps = representatives(
+        assignments,
+        images=meta,
+        strategy=rep_strategy or cfg.rep_strategy,
+        id_col=id_col,
+        caption_col=caption_col,
+    )
+
+    conflicts = None
+    if with_conflicts:
+        shingled = with_shingles(meta.select(id_col, caption_col), caption_col, "shingles", cfg)
+        conflicts = conflict_band(jac_cand, shingled.select(id_col, "shingles"), cfg, "shingles", id_col)
+
+    return DedupResult(
+        assignments=assignments,
+        representatives=reps,
+        edges=edges,
+        conflicts=conflicts,
+        stats=cluster_stats(assignments),
+    )

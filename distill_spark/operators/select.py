@@ -1,0 +1,74 @@
+"""Representative selection + cluster stats.
+
+Reference: 4 selection strategies — max score / closest-to-centroid /
+longest text / weighted hybrid (/root/reference/pkg/contextlab/
+selector.go:88-238) — all "pick one row per cluster by a total order",
+i.e. a window row_number()==1. Our canonical deterministic rule is
+min(image_id) (SURVEY.md §2.5 C4); score/length/hybrid strategies are
+exposed for parity. Stats mirror ClusterResult / DeduplicationResult /
+ReductionPercent (/root/reference/pkg/types/chunk.go:123-146,
+vector.go:58-72).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def representatives(
+    assignments: DataFrame,
+    images: DataFrame | None = None,
+    strategy: str = "min_id",
+    id_col: str = "image_id",
+    component_col: str = "component",
+    score_col: str = "score",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """One row per component. Returns (component, image_id[, rank cols])."""
+    df = assignments
+    if images is not None:
+        df = df.join(images, id_col)
+
+    if strategy == "min_id":
+        order = [F.col(id_col).asc()]
+    elif strategy == "max_score":
+        order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    elif strategy == "longest":
+        order = [F.length(caption_col).desc(), F.col(id_col).asc()]
+    elif strategy == "hybrid":
+        # normalized score + normalized length, equal weights, id tiebreak
+        w_all = Window.partitionBy(component_col)
+        df = df.withColumn(
+            "_hybrid",
+            F.coalesce(
+                F.col(score_col) / F.max(score_col).over(w_all), F.lit(0.0)
+            )
+            + F.length(caption_col) / F.max(F.length(caption_col)).over(w_all),
+        )
+        order = [F.col("_hybrid").desc(), F.col(id_col).asc()]
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    w = Window.partitionBy(component_col).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_hybrid")
+    )
+
+
+def cluster_stats(assignments: DataFrame, component_col: str = "component") -> DataFrame:
+    """One-row stats DataFrame: inputs, clusters, duplicates, reduction %.
+
+    ReductionPercent = (1 - unique/total) * 100
+    (/root/reference/pkg/types/chunk.go:141-146).
+    """
+    return assignments.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.countDistinct(component_col).alias("n_clusters"),
+        (F.count(F.lit(1)) - F.countDistinct(component_col)).alias("n_duplicates"),
+        (
+            (F.lit(1.0) - F.countDistinct(component_col) / F.count(F.lit(1))) * 100.0
+        ).alias("reduction_percent"),
+    )

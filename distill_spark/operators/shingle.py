@@ -1,0 +1,68 @@
+"""Caption normalization + token shingling — entirely JVM-side.
+
+Reference analog: keyword extraction / tokenization
+(/root/reference/pkg/memory/decay.go:198-225 — trim punct, lower,
+filter) feeding its text-similarity machinery. We normalize captions
+(lower + regex split), form token n-gram shingles, and hash each
+shingle to int64 with xxhash64 so all downstream set math (Jaccard,
+MinHash) runs on compact fixed-width integers instead of strings —
+shingle arrays are the ONLY caption-derived payload that ever enters a
+shuffle (never `bytes`, never raw text).
+
+Zero Python: split/sequence/transform/slice/concat_ws/xxhash64 are all
+Catalyst expressions inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig, DEFAULT
+
+
+def tokens_col(col: str | Column, cfg: DedupConfig = DEFAULT) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(c, F.lit(""))  # null captions == empty captions
+    if cfg.lowercase:
+        c = F.lower(c)
+    toks = F.split(c, cfg.token_pattern)
+    return F.filter(toks, lambda t: t != F.lit(""))
+
+
+def with_tokens(df: DataFrame, col: str = "caption", out: str = "tokens",
+                cfg: DedupConfig = DEFAULT) -> DataFrame:
+    return df.withColumn(out, tokens_col(col, cfg))
+
+
+def shingles_col(tokens: str | Column, cfg: DedupConfig = DEFAULT) -> Column:
+    """array<bigint> of distinct xxhash64'd token n-grams.
+
+    Captions shorter than the shingle width collapse to one whole-caption
+    shingle (keeps exact-dup detection for tiny captions). Set semantics
+    via array_distinct — Jaccard is over shingle SETS. The token array is
+    let1-bound so its defining expression (split/filter) is evaluated
+    once per row even when referenced per shingle (see functions/util.py).
+    """
+    tc = F.col(tokens) if isinstance(tokens, str) else tokens
+    k = cfg.shingle_size
+
+    def build(t):
+        ngrams = F.transform(
+            F.sequence(F.lit(0), F.size(t) - k),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i + 1, k))),
+        )
+        whole = F.array(F.xxhash64(F.concat_ws(" ", t)))
+        empty = F.array().cast("array<bigint>")
+        return F.when(F.size(t) >= k, F.array_distinct(ngrams)).otherwise(
+            F.when(F.size(t) > 0, whole).otherwise(empty)
+        )
+
+    from ..functions.util import let1
+
+    return let1(tc, build)
+
+
+def with_shingles(df: DataFrame, col: str = "caption", out: str = "shingles",
+                  cfg: DedupConfig = DEFAULT) -> DataFrame:
+    return df.withColumn(out, shingles_col(tokens_col(col, cfg), cfg))

@@ -1,0 +1,54 @@
+"""64-bit SimHash over caption token features — entirely JVM-side.
+
+Charikar SimHash: each token hashes to 64 bits (xxhash64, seeded by
+Spark's fixed seed -> deterministic); bit j of the signature is 1 iff
+the sum over tokens of (+1 if bit j set else -1) is positive. Two
+captions with highly-overlapping token multisets land within a small
+Hamming ball.
+
+Spark-first shape: explode tokens, compute the 64 per-bit signed sums
+as aggregates (map-side partial agg), then assemble the int64. No
+Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig, DEFAULT
+
+
+def with_simhash(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "image_id",
+    out: str = "simhash",
+    cfg: DedupConfig = DEFAULT,
+) -> DataFrame:
+    """(id, tokens) -> (id, simhash: bigint). Empty-token rows dropped."""
+    bits = cfg.simhash_bits
+    ex = df.select(F.col(id_col), F.explode(tokens_col).alias("tok")).withColumn(
+        "th", F.xxhash64("tok")
+    )
+    sums = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftrightunsigned(F.col("th"), j).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"s_{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = sums.select(
+        id_col,
+        sum(
+            [
+                F.when(F.col(f"s_{j}") > 0, F.lit(1).cast("long") * F.lit(2 ** j if j < 63 else -(2 ** 63))).otherwise(F.lit(0).cast("long"))
+                for j in range(bits)
+            ]
+        ).alias(out),
+    )
+    return sig

@@ -1,0 +1,158 @@
+"""Exact verification of candidate pairs — makes precision exact.
+
+Reference analog: the exact cosine distance computed inside the
+brute-force matrices (/root/reference/pkg/math/simd.go:10-69) and the
+min-similarity cut (/root/reference/pkg/commits/commits.go:227-231).
+Here verification runs ONLY on the (tiny) candidate set produced by
+LSH / pigeonhole / winnowing, never all pairs.
+
+  * Jaccard: size(array_intersect)/size(array_union) over int64 shingle
+    arrays — built-in, JVM-side.
+  * LCS (exact common substring >= L): the one genuinely non-relational
+    predicate. Arrow-batched mapInPandas over candidate pairs (per
+    SURVEY.md §2.11: grouped/batched pandas for within-bucket
+    verification); rolling-window set membership, O(|a|+|b|) per pair.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig, DEFAULT
+
+
+def _attach(pairs: DataFrame, feats: DataFrame, id_col: str, col: str) -> DataFrame:
+    fa = feats.select(F.col(id_col).alias("a"), F.col(col).alias(f"_{col}_a"))
+    fb = feats.select(F.col(id_col).alias("b"), F.col(col).alias(f"_{col}_b"))
+    return pairs.join(fa, "a").join(fb, "b")
+
+
+def jaccard_col(a, b):
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+
+
+def verify_jaccard(
+    pairs: DataFrame,
+    shingled: DataFrame,
+    threshold: float,
+    shingle_col: str = "shingles",
+    id_col: str = "image_id",
+    keep_score: bool = False,
+) -> DataFrame:
+    """Keep (a, b) with exact shingle-set Jaccard >= threshold."""
+    j = jaccard_col(F.col(f"_{shingle_col}_a"), F.col(f"_{shingle_col}_b"))
+    out = _attach(pairs, shingled, id_col, shingle_col).withColumn("jaccard", j)
+    out = out.filter(F.col("jaccard") >= threshold)
+    return out.select("a", "b", "jaccard") if keep_score else out.select("a", "b")
+
+
+def conflict_band(
+    pairs: DataFrame,
+    shingled: DataFrame,
+    cfg: DedupConfig = DEFAULT,
+    shingle_col: str = "shingles",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Range (theta) band join: conflict_jaccard <= j < jaccard_threshold.
+
+    Reference: conflicts are pairs between the dup and conflict
+    thresholds, flagged but stored anyway
+    (/root/reference/pkg/memory/sqlite.go:268-275, store.go:229-239).
+    """
+    j = jaccard_col(F.col(f"_{shingle_col}_a"), F.col(f"_{shingle_col}_b"))
+    return (
+        _attach(pairs, shingled, id_col, shingle_col)
+        .withColumn("jaccard", j)
+        .filter(
+            (F.col("jaccard") >= cfg.conflict_jaccard)
+            & (F.col("jaccard") < cfg.jaccard_threshold)
+        )
+        .select("a", "b", "jaccard")
+    )
+
+
+def window_hashes(
+    captions: DataFrame,
+    cfg: DedupConfig = DEFAULT,
+    caption_col: str = "caption",
+    id_col: str = "image_id",
+    out: str = "winhash",
+) -> DataFrame:
+    """Per doc: xxhash64 of every lcs_min_len-char window (JVM-side).
+
+    A pair shares an exact common substring of length >= L iff their
+    window-hash arrays overlap (exact modulo xxhash64 collisions —
+    the same accepted risk as hashing shingles; ~N^2/2^64).
+    """
+    L = cfg.lcs_min_len
+    c = f"lower(coalesce({caption_col}, ''))" if cfg.lowercase else f"coalesce({caption_col}, '')"
+    expr = (
+        f"CASE WHEN length({c}) >= {L} THEN "
+        f"array_distinct(transform(sequence(0, length({c}) - {L}), "
+        f"i -> xxhash64(substring({c}, i + 1, {L})))) "
+        f"ELSE cast(array() as array<bigint>) END"
+    )
+    return captions.select(id_col, F.expr(expr).alias(out))
+
+
+def verify_lcs(
+    pairs: DataFrame,
+    captions: DataFrame,
+    cfg: DedupConfig = DEFAULT,
+    caption_col: str = "caption",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Keep (a, b) sharing an exact common substring of >= lcs_min_len chars.
+
+    JVM-side: join per-doc window-hash arrays (pruned to ids that appear
+    in candidate pairs) and filter on arrays_overlap — no per-pair Python.
+    """
+    pair_ids = pairs.select(F.col("a").alias(id_col)).unionByName(
+        pairs.select(F.col("b").alias(id_col))
+    ).distinct()
+    wh = window_hashes(
+        captions.join(pair_ids, id_col, "left_semi"), cfg, caption_col, id_col
+    )
+    attached = _attach(pairs, wh, id_col, "winhash")
+    return attached.filter(
+        F.arrays_overlap(F.col("_winhash_a"), F.col("_winhash_b"))
+    ).select("a", "b")
+
+
+def verify_lcs_exact(
+    pairs: DataFrame,
+    captions: DataFrame,
+    cfg: DedupConfig = DEFAULT,
+    caption_col: str = "caption",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Exact-string variant (Arrow-batched pandas; test cross-check only)."""
+    cap = captions.select(id_col, F.col(caption_col).alias("cap"))
+    attached = _attach(pairs, cap, id_col, "cap")
+    min_len, lower = cfg.lcs_min_len, cfg.lowercase
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            keep = []
+            for a, b in zip(pdf["_cap_a"], pdf["_cap_b"]):
+                a, b = (a or ""), (b or "")
+                if lower:
+                    a, b = a.lower(), b.lower()
+                if len(a) > len(b):
+                    a, b = b, a
+                if len(a) < min_len:
+                    keep.append(False)
+                    continue
+                wins = {a[i : i + min_len] for i in range(len(a) - min_len + 1)}
+                keep.append(
+                    any(b[i : i + min_len] in wins for i in range(len(b) - min_len + 1))
+                )
+            yield pdf.loc[keep, ["a", "b"]]
+
+    return attached.mapInPandas(batch, schema="a string, b string")

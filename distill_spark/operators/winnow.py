@@ -1,0 +1,59 @@
+"""Winnowing fingerprints for the exact-substring (LCS) channel —
+entirely JVM-side.
+
+Schleimer/Wilkerson/Aiken winnowing (SIGMOD'03, public algorithm): hash
+every char k-gram, then keep the minimum hash of every sliding window
+of `window` consecutive k-gram hashes. Guarantee: any exact common
+substring of length >= window + kgram - 1 shares at least one selected
+fingerprint — so fingerprint-bucket candidates have recall 1.0 for the
+`lcs_min_len = window + kgram - 1` predicate; exact LCS verification
+(verify.py) then makes precision exact.
+
+Implemented with sequence/transform/slice/array_min/substring/xxhash64
+— higher-order Catalyst expressions, zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig, DEFAULT
+
+
+def with_fingerprints(
+    df: DataFrame,
+    col: str = "caption",
+    out: str = "fingerprints",
+    cfg: DedupConfig = DEFAULT,
+) -> DataFrame:
+    """Add array<bigint> of distinct winnowing fingerprints of `col`.
+
+    Strings shorter than lcs_min_len produce an empty array (they cannot
+    contain a qualifying substring). The k-gram hash array is bound as a
+    lambda variable (let1) so Catalyst evaluates it ONCE per row —
+    projecting it as a plain intermediate column lets CollapseProject
+    inline it into every window of the winnowing lambda (observed 100x
+    slowdown).
+    """
+    k = cfg.winnow_kgram
+    w = cfg.winnow_window
+    c = f"lower(coalesce({col}, ''))" if cfg.lowercase else f"coalesce({col}, '')"
+    grams = F.expr(
+        f"CASE WHEN length({c}) >= {cfg.lcs_min_len} THEN "
+        f"transform(sequence(0, length({c}) - {k}), i -> xxhash64(substring({c}, i + 1, {k}))) "
+        f"ELSE cast(array() as array<bigint>) END"
+    )
+
+    def winnow(g):
+        mins = F.transform(
+            F.sequence(F.lit(0), F.size(g) - w),
+            lambda j: F.array_min(F.slice(g, j + 1, w)),
+        )
+        return F.when(F.size(g) >= w, F.array_distinct(mins)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    from ..functions.util import let1
+
+    return df.withColumn(out, let1(grams, winnow))

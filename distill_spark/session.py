@@ -1,0 +1,55 @@
+"""SparkSession factory.
+
+Local-mode settings tuned for the sandbox (single JVM, local[N]); on a
+real cluster the same builder is used minus the master/memory overrides
+(spark-submit supplies them). AQE + skew-join are always on: the
+LSH-bucket self-join is the known skew point (hot buckets), and AQE
+splits oversized shuffle partitions at runtime on top of our explicit
+salting (operators/lsh.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "distill_spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    cores: int N -> local[N]; "*" -> local[*]; None -> $SPARK_GRAFT_CPUS
+    or local[*]. shuffle_partitions defaults to max(2*cores, 32) locally —
+    at cluster scale this knob comes from spark-submit and AQE coalesces.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        n = os.cpu_count() or 8 if cores == "*" else int(cores)
+        shuffle_partitions = max(2 * n, 16)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,55 @@
+import sys, time
+
+sys.path.insert(0, "/root/repo")
+from distill_spark.session import get_spark
+from distill_spark.config import DedupConfig
+from distill_spark.datagen import images_from_documents
+from distill_spark.operators.shingle import tokens_col, shingles_col
+from distill_spark.operators.minhash import with_minhash, band_buckets
+from distill_spark.operators.lsh import pairs_from_buckets, bucket_stats
+from distill_spark.operators.simhash import with_simhash
+from distill_spark.operators.hamming import hamming_candidate_pairs, verify_hamming
+from distill_spark.operators.winnow import with_fingerprints
+from distill_spark.operators.verify import verify_jaccard, verify_lcs
+from pyspark.sql import functions as F
+
+t0 = time.time()
+def tick(m):
+    print(f"[{time.time()-t0:7.1f}s] {m}", flush=True)
+
+cfg = DedupConfig()
+spark = get_spark("dbg", cores=8, shuffle_partitions=16)
+df = images_from_documents(spark, "/root/testdata/sf0.001", with_payload=False)
+df = df.select("image_id", "caption", "phash").cache(); df.count()
+tick("input cached")
+
+shingled = (
+    df.withColumn("tokens", tokens_col("caption", cfg))
+    .withColumn("shingles", shingles_col(F.col("tokens"), cfg))
+    .select("image_id", "tokens", "shingles").cache()
+)
+shingled.count(); tick("shingled")
+
+sig = with_minhash(shingled, cfg=cfg)
+buckets = band_buckets(sig, cfg=cfg).cache()
+print("band bucket stats:", bucket_stats(buckets, ["band", "bucket"]).collect())
+mh_cand = pairs_from_buckets(buckets, ["band", "bucket"], cfg=cfg).cache()
+print("minhash candidates:", mh_cand.count()); tick("minhash channel cand")
+mh_ver = verify_jaccard(mh_cand, shingled, cfg.jaccard_threshold)
+print("minhash verified:", mh_ver.count()); tick("minhash verified")
+
+sh = with_simhash(shingled, cfg=cfg)
+sh_cand = hamming_candidate_pairs(sh, "simhash", cfg.simhash_hamming_k, cfg=cfg).cache()
+print("simhash candidates:", sh_cand.count()); tick("simhash cand")
+
+ph_cand = hamming_candidate_pairs(df, "phash", cfg.phash_hamming_k, cfg=cfg).cache()
+print("phash candidates:", ph_cand.count()); tick("phash cand")
+
+fp = with_fingerprints(df.select("image_id", "caption"), "caption", "fp", cfg)
+fpx = fp.select("image_id", F.explode("fp").alias("fingerprint")).cache()
+print("fp rows:", fpx.count())
+print("fp bucket stats:", bucket_stats(fpx, ["fingerprint"]).collect())
+fp_cand = pairs_from_buckets(fpx, ["fingerprint"], cfg=cfg).cache()
+print("winnow candidates:", fp_cand.count()); tick("winnow cand")
+lcs = verify_lcs(fp_cand, df.select("image_id", "caption"), cfg).cache()
+print("lcs verified:", lcs.count()); tick("lcs verified")

@@ -1,0 +1,36 @@
+import sys, time
+
+sys.path.insert(0, "/root/repo")
+from distill_spark.session import get_spark
+from distill_spark.config import DedupConfig
+from distill_spark.datagen import images_from_documents
+from distill_spark.operators.winnow import with_fingerprints
+from pyspark.sql import functions as F, Window
+
+t0 = time.time()
+def tick(m): print(f"[{time.time()-t0:7.1f}s] {m}", flush=True)
+
+cfg = DedupConfig()
+spark = get_spark("dbg2", cores=8, shuffle_partitions=16)
+df = images_from_documents(spark, "/root/testdata/sf0.001", with_payload=False)
+fp = with_fingerprints(df.select("image_id", "caption"), "caption", "fp", cfg)
+fpx = fp.select("image_id", F.explode("fp").alias("fingerprint")).cache()
+print("fp rows:", fpx.count(), "partitions:", fpx.rdd.getNumPartitions())
+tick("fpx cached")
+
+key_cols = ["fingerprint"]
+w = Window.partitionBy(*key_cols)
+sized = fpx.withColumn("_bsz", F.count(F.lit(1)).over(w)).withColumn("_bmin", F.min("image_id").over(w)).cache()
+print("sized:", sized.count()); tick("sized (two windows)")
+
+small = sized.filter((F.col("_bsz") > 1) & (F.col("_bsz") <= cfg.max_bucket_size)).select(*key_cols, "image_id")
+left = small.select(*key_cols, F.col("image_id").alias("a"))
+right = small.select(*key_cols, F.col("image_id").alias("b"))
+sp = left.join(right, key_cols).filter(F.col("a") < F.col("b")).select("a", "b")
+print("small pairs:", sp.count()); tick("small join")
+
+bp = sized.filter(F.col("_bsz") > cfg.max_bucket_size).filter(F.col("image_id") != F.col("_bmin")).select(F.col("_bmin").alias("a"), F.col("image_id").alias("b"))
+print("big pairs:", bp.count()); tick("big pairs")
+
+u = sp.unionByName(bp).dropDuplicates(["a", "b"])
+print("union distinct:", u.count()); tick("dropDuplicates")

@@ -1,0 +1,89 @@
+import sys, time
+
+sys.path.insert(0, "/root/repo")
+from distill_spark.session import get_spark
+from distill_spark.config import DedupConfig
+from distill_spark.datagen import generate_images
+from distill_spark.operators.shingle import tokens_col, shingles_col
+from distill_spark.operators.minhash import with_minhash, band_buckets
+from distill_spark.operators.lsh import pairs_from_buckets
+from distill_spark.operators.simhash import with_simhash
+from distill_spark.operators.hamming import hamming_candidate_pairs, verify_hamming
+from distill_spark.operators.winnow import with_fingerprints
+from distill_spark.operators.verify import verify_jaccard, verify_lcs
+from distill_spark.operators.components import connected_components
+from pyspark.sql import functions as F
+
+t0 = time.time()
+
+
+def tick(msg):
+    global t0
+    print(f"[{time.time()-t0:7.1f}s] {msg}", flush=True)
+
+
+cfg = DedupConfig()
+spark = get_spark("debug", cores=8, shuffle_partitions=16)
+tick("session up")
+
+df, truth = generate_images(spark, n=600, seed=42)
+df = df.select("image_id", "caption", "phash").cache()
+print("rows:", df.count())
+tick("datagen + cache")
+
+shingled = (
+    df.withColumn("tokens", tokens_col("caption", cfg))
+    .withColumn("shingles", shingles_col(F.col("tokens"), cfg))
+    .select("image_id", "tokens", "shingles")
+    .cache()
+)
+print("shingled:", shingled.count())
+tick("shingles")
+
+sig = with_minhash(shingled, "shingles", "image_id", "minhash", cfg)
+print("sig:", sig.count())
+tick("minhash")
+
+buckets = band_buckets(sig, "minhash", "image_id", cfg)
+print("buckets:", buckets.count())
+tick("band_buckets")
+
+cand = pairs_from_buckets(buckets, ["band", "bucket"], "image_id", cfg)
+print("cand:", cand.count())
+tick("lsh pairs")
+
+ver = verify_jaccard(cand, shingled.select("image_id", "shingles"), cfg.jaccard_threshold)
+print("verified:", ver.count())
+tick("verify jaccard")
+
+sh = with_simhash(shingled.select("image_id", "tokens"), "tokens", "image_id", "simhash", cfg)
+print("simhash:", sh.count())
+tick("simhash")
+
+shc = hamming_candidate_pairs(sh, "simhash", cfg.simhash_hamming_k, "image_id", cfg)
+print("simhash cand:", shc.count())
+tick("simhash candidates")
+
+ph = df.select("image_id", "phash")
+phc = hamming_candidate_pairs(ph, "phash", cfg.phash_hamming_k, "image_id", cfg)
+phv = verify_hamming(phc, ph, "phash", cfg.phash_hamming_k)
+print("phash verified:", phv.count())
+tick("phash channel")
+
+fp = with_fingerprints(df.select("image_id", "caption"), "caption", "fp", cfg)
+fpx = fp.select("image_id", F.explode("fp").alias("fingerprint"))
+fpc = pairs_from_buckets(fpx, ["fingerprint"], "image_id", cfg)
+print("fp cand:", fpc.count())
+tick("winnow candidates")
+
+lcs = verify_lcs(fpc, df.select("image_id", "caption"), cfg)
+print("lcs verified:", lcs.count())
+tick("verify lcs")
+
+edges = ver.unionByName(phv).unionByName(lcs).dropDuplicates(["a", "b"]).cache()
+print("edges:", edges.count())
+tick("edges")
+
+assign = connected_components(edges, nodes=df.select("image_id"), cfg=cfg)
+print("assign:", assign.count())
+tick("connected components")

@@ -1,0 +1,54 @@
+"""Drive the public package surface end-to-end on real driver parquet."""
+import sys, time
+
+sys.path.insert(0, "/root/repo")
+
+from distill_spark.session import get_spark
+from distill_spark.config import DedupConfig
+from distill_spark.datagen import images_from_documents
+from distill_spark.operators import dedupe
+
+spark = get_spark("verify_drive", cores=8, shuffle_partitions=16)
+t0 = time.time()
+
+# real input: driver-provided documents.parquet -> images table (input_hint shape)
+images = images_from_documents(spark, "/root/testdata/sf0.001", with_payload=False)
+images.printSchema()
+
+res = dedupe(images, DedupConfig())
+stats = res.stats.collect()[0]
+print("STATS:", stats.asDict())
+print("sample assignments:")
+res.assignments.orderBy("image_id").show(5, truncate=60)
+print("sample representatives:")
+res.representatives.select("component", "image_id", "caption").orderBy("component").show(3, truncate=50)
+print("edges sample:")
+res.edges.orderBy("a", "b").show(5)
+print(f"elapsed {time.time()-t0:.1f}s")
+
+# PROBE 1: captions with nulls/empties/1-token rows
+import pandas as pd
+probe = spark.createDataFrame(
+    pd.DataFrame(
+        {
+            "image_id": ["p1", "p2", "p3", "p4", "p5"],
+            "caption": ["", "x", "x", None, "identical caption here exactly matching twin"],
+            "phash": [0, 1 << 40, (1 << 40) + 3, 7, 99],
+        }
+    )
+)
+try:
+    r = dedupe(probe, DedupConfig())
+    print("PROBE edge-cases assignments:")
+    r.assignments.orderBy("image_id").show()
+except Exception as e:
+    print("PROBE FAILED:", type(e).__name__, str(e)[:500])
+
+# PROBE 2: single-row input
+one = spark.createDataFrame(pd.DataFrame({"image_id": ["only"], "caption": ["just one row"], "phash": [5]}))
+r1 = dedupe(one, DedupConfig())
+print("PROBE single row:", r1.assignments.collect())
+
+# PROBE 3: dedupe() twice on same df (idempotent, no state leakage)
+r2 = dedupe(one, DedupConfig())
+print("PROBE rerun:", r2.assignments.collect())

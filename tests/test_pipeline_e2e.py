@@ -1,0 +1,102 @@
+"""End-to-end dedup pipeline vs the exact brute-force oracle.
+
+Mirrors the reference's test strategy: planted duplicate fixtures at
+known distances (/root/reference/pkg/memory/conflict_test.go:18-118,
+testdata/sample.jsonl) checked against exact matrices. Asserts the
+north-rule gate: dup-pair recall >= 0.99, precision exact, clusters
+deterministic.
+"""
+
+import pytest
+
+from distill_spark.config import DedupConfig
+from distill_spark.datagen import generate_images, generate_images_pdf
+from distill_spark.operators import dedupe
+from distill_spark.oracle import oracle_components, cluster_pairs
+
+CFG = DedupConfig()
+N = 600
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    df, truth = generate_images(spark, n=N, seed=42)
+    df = df.select("image_id", "caption", "phash").cache()
+    df.count()
+    return df, truth
+
+
+@pytest.fixture(scope="module")
+def result(small):
+    df, _ = small
+    res = dedupe(df, CFG)
+    assignments = {r["image_id"]: r["component"] for r in res.assignments.collect()}
+    reps = res.representatives.select("component", "image_id").collect()
+    stats = res.stats.collect()[0]
+    return assignments, reps, stats
+
+
+@pytest.fixture(scope="module")
+def oracle(small):
+    df, _ = small
+    pdf = df.select("image_id", "caption", "phash").toPandas()
+    return oracle_components(pdf, CFG)
+
+
+def test_recall_and_precision_vs_oracle(result, oracle):
+    got, _, _ = result
+    assign_true, _ = oracle
+    assert set(got) == set(assign_true), "every image must be assigned"
+
+    pairs_true = cluster_pairs(assign_true)
+    pairs_got = cluster_pairs(got)
+
+    missed = pairs_true - pairs_got
+    recall = 1 - len(missed) / max(len(pairs_true), 1)
+    assert recall >= 0.99, f"recall {recall:.4f}; missed e.g. {sorted(missed)[:5]}"
+
+    extra = pairs_got - pairs_true
+    assert not extra, f"false merges (precision must be exact): {sorted(extra)[:5]}"
+
+
+def test_planted_positives_and_negatives(small, result):
+    _, truth = small
+    got, _, _ = result
+    merged, total = 0, 0
+    for a, b in truth.dup_pairs():
+        total += 1
+        merged += got[a] == got[b]
+    assert merged / total >= 0.99, f"planted recall {merged}/{total}"
+    for a, b in truth.negatives:
+        assert got[a] != got[b], f"planted negative merged: {a} {b}"
+
+
+def test_determinism_across_partitioning(spark, small, result):
+    df, _ = small
+    got, _, _ = result
+    r2 = dedupe(df.repartition(3), CFG)
+    a2 = {r["image_id"]: r["component"] for r in r2.assignments.collect()}
+    assert a2 == got
+
+
+def test_representatives_deterministic_min_id(result):
+    _, reps, _ = result
+    assert reps, "must have representatives"
+    for r in reps:
+        assert r["image_id"] == r["component"], "min_id strategy: rep == component root"
+
+
+def test_cluster_stats_shape(result):
+    _, _, row = result
+    assert row["n_input"] == N
+    assert 0 < row["n_clusters"] < N
+    assert row["n_duplicates"] == row["n_input"] - row["n_clusters"]
+    assert 0 < row["reduction_percent"] < 100
+
+
+def test_oracle_merges_planted_groups():
+    pdf, truth = generate_images_pdf(n=60, seed=7)
+    assign, _ = oracle_components(pdf, CFG)
+    for g in truth.dup_groups[:3]:
+        roots = {assign[m] for m in g}
+        assert len(roots) == 1
