@@ -1,0 +1,42 @@
+"""Content hashing / fingerprinting / deterministic IDs.
+
+Reference analogs (file:line into /root/reference):
+  content_hash   SHA-256 prefix hash with null separators
+                 (pkg/cache/prefix.go:93-100, pkg/cache/patterns.go:293-331,
+                 pkg/session/sqlite.go:692-705)
+  doc_fingerprint  rolling-hash document fingerprint (training-data tier);
+                 here: sorted distinct token-ngram xxhash64s reduced with a
+                 polynomial fold — deterministic, order-independent
+  det_id         hash-based deterministic id (replaces the reference's
+                 random ids, pkg/memory/helpers.go:12-23, which would break
+                 reproducibility at scale)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def content_hash(*cols: str | Column) -> Column:
+    """sha2-256 of null-separated concatenation (hex, lowercase)."""
+    cs = [F.coalesce(F.col(c) if isinstance(c, str) else c, F.lit("")) for c in cols]
+    return F.sha2(F.concat_ws("\x00", *cs), 256)
+
+
+def det_id(*cols: str | Column, prefix: str = "") -> Column:
+    """Deterministic 16-hex-char id from content (vs reference random ids)."""
+    return F.concat(F.lit(prefix), F.substring(content_hash(*cols), 1, 16))
+
+
+def doc_fingerprint(tokens_col: Column, ngram: int = 3) -> Column:
+    """Order-independent 64-bit document fingerprint: fold sorted distinct
+    n-gram hashes with h = h*31 + x (wrapping int64 arithmetic)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tokens_col) - ngram, F.lit(-1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens_col, i + 1, ngram))),
+    )
+    sorted_grams = F.array_sort(F.array_distinct(grams))
+    return F.aggregate(
+        sorted_grams, F.lit(0).cast("long"), lambda acc, x: acc * 31 + x
+    )

@@ -1,0 +1,72 @@
+"""Recency / relevance / importance / decay scoring columns.
+
+Reference analogs (file:line into /root/reference):
+  recency_score    1/(1+age_h/24)            pkg/memory/sqlite.go:381-387
+  relevance_blend  (1-w)*sim + w*recency, tag boost +0.1, context boosts
+                   +0.05, clamp to 1        pkg/memory/sqlite.go:388-413
+  decay_level      age buckets full->summary(24h)->keywords(7d)->evict(30d)
+                                             pkg/memory/decay.go:36-177,
+                                             store.go:244-257
+  importance       role/content signals      pkg/summarize/importance.go:18-74
+  eviction order   level asc, importance asc, created asc
+                                             pkg/session/sqlite.go:673-690
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def age_hours(ts: str | Column, now: Column) -> Column:
+    c = F.col(ts) if isinstance(ts, str) else ts
+    # TIMESTAMP_NTZ (parquet) can't cast straight to double in Spark 4;
+    # go via TIMESTAMP (identity under session tz = UTC)
+    return (
+        now.cast("timestamp").cast("double") - c.cast("timestamp").cast("double")
+    ) / 3600.0
+
+
+def recency_score(ts: str | Column, now: Column) -> Column:
+    """1 / (1 + age_hours/24)."""
+    return 1.0 / (1.0 + age_hours(ts, now) / 24.0)
+
+
+def relevance_blend(
+    sim: Column, recency: Column, w: float = 0.3,
+    tag_match: Column | None = None,
+) -> Column:
+    """(1-w)*sim + w*recency [+0.1 tag boost], clamped to 1.0."""
+    r = (1.0 - w) * sim + w * recency
+    if tag_match is not None:
+        r = r + F.when(tag_match, 0.1).otherwise(0.0)
+    return F.least(r, F.lit(1.0))
+
+
+def decay_level(ts: str | Column, now: Column,
+                summary_h: float = 24.0, keywords_h: float = 168.0,
+                evict_h: float = 720.0) -> Column:
+    """0=full, 1=summary, 2=keywords, 3=evict — reference decay ladder."""
+    a = age_hours(ts, now)
+    return (
+        F.when(a >= evict_h, 3)
+        .when(a >= keywords_h, 2)
+        .when(a >= summary_h, 1)
+        .otherwise(0)
+    )
+
+
+def importance_score(role: Column, text: Column) -> Column:
+    """system=1.0; code block +0.4; error kw +0.3; decision kw +0.2;
+    short(-0.1 if <20 chars); clamp [0,1]
+    (pkg/summarize/importance.go:18-74 signal set)."""
+    base = F.when(role == "system", F.lit(1.0)).otherwise(F.lit(0.5))
+    t = F.lower(F.coalesce(text, F.lit("")))
+    s = (
+        base
+        + F.when(t.contains("```"), 0.4).otherwise(0.0)
+        + F.when(t.rlike("error|fail|exception"), 0.3).otherwise(0.0)
+        + F.when(t.rlike("decide|decision|chose|agreed"), 0.2).otherwise(0.0)
+        + F.when(F.length(t) < 20, -0.1).otherwise(0.0)
+    )
+    return F.least(F.greatest(s, F.lit(0.0)), F.lit(1.0))

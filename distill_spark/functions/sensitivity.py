@@ -1,0 +1,36 @@
+"""Sensitivity regex classifier (max level wins).
+
+Reference: /root/reference/pkg/sensitivity/sensitivity.go:75-136 —
+AWS/OpenAI/GitHub/Slack key patterns, generic secret, email, phone,
+credit card, SSN; levels 0..3 (sensitivity.go:12-19); the batch variant
+(ClassifyBatch :140-150) is trivially columnar here. Patterns kept to
+the RE2/Java-regex common subset so the DuckDB oracle matches exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (pattern, level) — level 3 = secret, 2 = PII, 1 = internal
+PATTERNS: list[tuple[str, int]] = [
+    (r"AKIA[0-9A-Z]{16}", 3),                      # AWS access key
+    (r"sk-[A-Za-z0-9]{20,}", 3),                   # OpenAI-style key
+    (r"ghp_[A-Za-z0-9]{36}", 3),                   # GitHub token
+    (r"xox[baprs]-[A-Za-z0-9-]{10,}", 3),          # Slack token
+    (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", 2),            # SSN
+    (r"[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}", 2),  # credit card
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", 2),  # email
+    (r"\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ]?[0-9]{4}", 2),  # phone
+    (r"(internal|corp)\.[a-z0-9-]+\.[a-z]{2,}", 1),  # internal domain
+]
+
+
+def sensitivity_level(col: str | Column) -> Column:
+    """0..3; maximum matching pattern level wins (reference semantics)."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    lvl = F.lit(0)
+    # ascending order so higher levels override
+    for pat, level in sorted(PATTERNS, key=lambda p: p[1]):
+        lvl = F.when(c.rlike(pat), F.lit(level)).otherwise(lvl)
+    return lvl

@@ -1,0 +1,124 @@
+"""Text analysis columns — all JVM-side expressions.
+
+Reference analogs (file:line into /root/reference):
+  token_estimate   ceil(len/4), 3 copies in the reference
+                   (pkg/compress/extractive.go:197-203,
+                   pkg/memory/helpers.go:49-53, pkg/pipeline/pipeline.go:179-192)
+  sentences        split on .!? (pkg/compress/extractive.go:112-133)
+  keywords         trim punct, lower, len>=4, stopword filter, distinct,
+                   cap (pkg/memory/decay.go:198-225, stopwords :228-237)
+  quality_score    sentence scoring signals (position/length/digit,
+                   pkg/compress/extractive.go:136-169) recast as a
+                   document-quality heuristic for training-data pipelines
+  lang_id          n-gram/stopword-hit heuristic (new capability for the
+                   training-data pipeline tier; deterministic)
+
+Every function is expressible in ANSI SQL too — the DuckDB oracle in
+__spark_entry__.py mirrors these formulas exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+# reference stopword set (pkg/memory/decay.go:228-237) extended per language
+STOPWORDS_EN = [
+    "the", "a", "an", "and", "or", "but", "is", "are", "was", "were",
+    "in", "on", "at", "to", "for", "of", "with", "by", "from", "this",
+    "that", "it", "as", "be", "has", "have",
+]
+STOPWORDS = {
+    "en": STOPWORDS_EN,
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "eine", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "de", "un", "une", "pour", "avec"],
+    "es": ["el", "la", "los", "las", "y", "es", "de", "un", "una", "por"],
+}
+
+
+def tokens(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(F.coalesce(c, F.lit(""))), TOKEN_SPLIT), lambda t: t != "")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def token_estimate(col: str | Column) -> Column:
+    """ceil(len/4) — the reference's universal token estimator."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.ceil(F.length(F.coalesce(c, F.lit(""))) / 4).cast("long")
+
+
+def sentences(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.transform(F.split(F.coalesce(c, F.lit("")), r"[.!?]"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
+def keywords(col: str | Column, min_len: int = 4, cap: int = 12) -> Column:
+    """distinct non-stopword tokens of len >= min_len, sorted, first `cap`."""
+    t = tokens(col)
+    kept = F.filter(
+        t, lambda x: (F.length(x) >= min_len) & (~x.isin(*STOPWORDS_EN))
+    )
+    return F.slice(F.array_sort(F.array_distinct(kept)), 1, cap)
+
+
+def digit_ratio(col: str | Column) -> Column:
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    digits = F.length(F.regexp_replace(c, "[^0-9]", ""))
+    return F.when(F.length(c) > 0, digits / F.length(c)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: str | Column) -> Column:
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    punct = F.length(F.regexp_replace(c, "[a-zA-Z0-9 ]", ""))
+    return F.when(F.length(c) > 0, punct / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: str | Column) -> Column:
+    t = tokens(col)
+    hits = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS_EN)))
+    return F.when(F.size(t) > 0, hits / F.size(t)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Deterministic 0..1 doc-quality heuristic:
+    length band (0.25 if 50<=chars<=5000) + token band (0.25 if
+    10<=tokens<=2000) + low-digit (0.25 if digit_ratio<0.2) +
+    stopword presence (0.25 if 0.05<=stopword_ratio<=0.7).
+    """
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    n = F.length(c)
+    tc = token_count(c)
+    return (
+        F.when((n >= 50) & (n <= 5000), 0.25).otherwise(0.0)
+        + F.when((tc >= 10) & (tc <= 2000), 0.25).otherwise(0.0)
+        + F.when(digit_ratio(c) < 0.2, 0.25).otherwise(0.0)
+        + F.when((stopword_ratio(c) >= 0.05) & (stopword_ratio(c) <= 0.7), 0.25).otherwise(0.0)
+    )
+
+
+def lang_hits(col: str | Column, lang: str) -> Column:
+    t = tokens(col)
+    return F.size(F.filter(t, lambda x: x.isin(*STOPWORDS[lang])))
+
+
+def lang_id(col: str | Column) -> Column:
+    """argmax of per-language stopword hits; 'und' (undetermined) if all 0.
+    Deterministic tiebreak: language code ascending (first match wins).
+    Expressed as a greatest/CASE chain mirroring the SQL oracle exactly.
+    """
+    hits = {lg: lang_hits(col, lg) for lg in sorted(STOPWORDS)}
+    mx = F.greatest(*hits.values())
+    out = F.lit("und")
+    # iterate in REVERSE order so earlier languages win ties (first match)
+    for lg in sorted(STOPWORDS, reverse=True):
+        out = F.when((mx > 0) & (hits[lg] == mx), F.lit(lg)).otherwise(out)
+    return out

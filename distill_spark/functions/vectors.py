@@ -1,0 +1,165 @@
+"""Vector math over array<float> columns — JVM-side higher-order
+functions (no UDF in the hot path).
+
+Reference analogs (file:line into /root/reference):
+  cosine/dot/norm   4-way-unrolled Go kernels pkg/math/simd.go:10-121 —
+                    Spark's codegen'd zip_with/aggregate plays that role
+  centroid mean     pkg/contextlab/cluster.go:291-313, dedup/kmeans.go:249-275
+  top-k similar     pkg/commits/commits.go:216-250 (broadcast query side)
+  write-time dedup  pkg/memory/sqlite.go:243-279 full scan -> here:
+                    cosine-threshold pair join / random-hyperplane LSH
+  ANN               the author's own TODO (sqlite.go:243) asks for an
+                    approximate nearest-neighbor index; random-hyperplane
+                    SimHash bucketing provides it Spark-side
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .util import let1
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """dot/(|a||b|); 0.0 if either norm is 0 (reference clamps similarly,
+    pkg/math/simd.go:27-69: empty/zero vectors -> max distance)."""
+    d, na, nb = dot(a, b), norm(a), norm(b)
+    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine_distance(a: Column, b: Column) -> Column:
+    return 1.0 - cosine_similarity(a, b)
+
+
+def centroids(
+    df: DataFrame, vec_col: str = "embedding", group_col: str = "label"
+) -> DataFrame:
+    """Element-wise mean per group via posexplode + two-level agg —
+    partial aggregation map-side, no collect."""
+    ex = df.select(group_col, F.posexplode(vec_col).alias("pos", "v"))
+    per_pos = ex.groupBy(group_col, "pos").agg(F.avg("v").alias("m"))
+    return (
+        per_pos.groupBy(group_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
+
+
+def topk_neighbors(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k cosine neighbors of each query (broadcast the
+    query side — the reference broadcasts its single query vector,
+    commits.go:216-250). Exact baseline for ANN."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("sim", cosine_similarity(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "sim", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def with_hyperplane_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    dim: int | None = None,
+    seed: int = 42,
+    out: str = "hp_bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH (SimHash for vectors): bucket id = sign
+    pattern of n_planes dot products. Vectors with high cosine similarity
+    collide with high probability; the scale path for ANN / embedding
+    near-dup (brute force stays the small-scale oracle)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        pl = F.array(*[F.lit(float(x)) for x in p])
+        s = dot(F.col(vec_col), pl)
+        bucket = bucket + F.when(s > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0))
+    return df.withColumn(out, bucket)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    approx: bool = False,
+    n_planes: int = 12,
+) -> DataFrame:
+    """(a, b, sim) pairs with cosine >= threshold. approx=True buckets by
+    random hyperplanes first (misses cross-bucket pairs — scale path);
+    approx=False is the exact quadratic baseline."""
+    if approx:
+        b = with_hyperplane_bucket(df, vec_col, n_planes)
+        left = b.select(
+            F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "hp_bucket"
+        )
+        right = b.select(
+            F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "hp_bucket"
+        )
+        pairs = left.join(right, "hp_bucket").filter(F.col("a") < F.col("b"))
+    else:
+        left = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+        right = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+        pairs = left.crossJoin(right).filter(F.col("a") < F.col("b"))
+    return (
+        pairs.withColumn("sim", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
+    )
+
+
+def exact_dup_vectors(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact-duplicate embeddings: group by full vector content."""
+    return (
+        df.groupBy(vec_col)
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+        .select("rep_id", "dup_count")
+    )

@@ -1,0 +1,95 @@
+"""Local replica of the driver's correctness gate: run every
+queries()[name] on Spark at sf0.01 and compare against oracle_sql()[name]
+in DuckDB (row count + column names + order-insensitive values)."""
+
+import math
+import sys
+from datetime import datetime
+from decimal import Decimal
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+import __spark_entry__ as E
+from distill_spark.session import get_spark
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, datetime):
+        return v.isoformat()
+    return v
+
+
+def rows_to_multiset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm(r[i]) for i in idx) for r in rows)
+
+
+def main():
+    spark = get_spark("oracle_check", cores=8, shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        import time
+
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL {name}: spark error {type(ex).__name__}: {str(ex)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(srows)} rows, cols={scols} [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.sql(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error {type(ex).__name__}: {str(ex)[:300]}")
+            continue
+        ok_cols = sorted(scols) == sorted(dcols)
+        ok_count = len(srows) == len(drows)
+        ms, md = rows_to_multiset(scols, srows), rows_to_multiset(dcols, drows)
+        ok_vals = ms == md
+        status = "OK" if (ok_cols and ok_count and ok_vals) else "FAIL"
+        if status == "FAIL":
+            failures.append(name)
+        print(
+            f"{status} {name}: spark={len(srows)} duck={len(drows)} cols_ok={ok_cols} vals_ok={ok_vals} [{time.time()-t0:.1f}s]"
+        )
+        if not ok_cols:
+            print(f"   spark cols: {sorted(scols)}\n   duck cols:  {sorted(dcols)}")
+        if ok_cols and not ok_vals:
+            diff1 = [r for r in ms if r not in set(md)][:3]
+            diff2 = [r for r in md if r not in set(ms)][:3]
+            print(f"   spark-only: {diff1}\n   duck-only:  {diff2}")
+    print("\nFAILURES:", failures if failures else "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
