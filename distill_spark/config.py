@@ -48,6 +48,11 @@ class DedupConfig:
     # --- skew handling ---
     max_bucket_size: int = 256     # LSH buckets larger than this switch to
                                    # star topology (each member vs bucket min)
+    max_fp_bucket_size: int = 32   # tighter cap for winnowing-fingerprint
+                                   # buckets: popular fingerprints (winnowing
+                                   # biases toward small hashes) create many
+                                   # mid-size buckets whose all-pairs sum
+                                   # explodes quadratically
     salt_partitions: int = 0       # >0: extra repartition salt for verify
 
     # --- representative selection (reference pkg/contextlab/selector.py
@@ -56,6 +61,18 @@ class DedupConfig:
 
     # --- connected components ---
     cc_max_iters: int = 50
+
+    # --- execution toggles (A/B-able) ---
+    sig_impl: str = "numpy"        # "numpy" (one-pass Arrow UDF, no shuffle)
+                                   # | "jvm" (explode + agg formulation)
+    lcs_impl: str = "exact"        # "exact" (pandas) | "jvm" (arrays_overlap)
+    winnow_impl: str = "numpy"     # "numpy" | "jvm"
+    simhash_preverify: bool = True # exact Hamming filter before Jaccard verify
+    persist_shingles: bool = False # caching the shared shingle stage forces
+                                   # materialization + blocks per-consumer
+                                   # column pruning; recomputing the cheap
+                                   # tokenize/shingle pass is faster (A/B:
+                                   # 122s -> 75s at 100k rows, local[32])
 
     extra: dict = field(default_factory=dict)
 

@@ -85,17 +85,40 @@ class PlantedTruth:
         return pairs
 
 
+_VOCAB_CACHE: dict[int, list[str]] = {}
+
+
+def _vocab(size: int = 5000) -> list[str]:
+    """Seeded random-letter words (5-9 chars, no shared prefix structure).
+    A fixed-prefix vocabulary (e.g. 'tok00042') makes chance >=24-char
+    common substrings ubiquitous — every shared bigram extends through
+    the next token's prefix — which floods the substring channel with
+    genuine-but-degenerate dups. Random letters keep chance LCS hits
+    astronomically rare, like real text."""
+    if size not in _VOCAB_CACHE:
+        rng = np.random.default_rng(1234)
+        letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+        words = set()
+        while len(words) < size:
+            n = int(rng.integers(5, 10))
+            words.add("".join(rng.choice(letters, size=n)))
+        _VOCAB_CACHE[size] = sorted(words)
+    return _VOCAB_CACHE[size]
+
+
 def _caption(rng: np.random.Generator, n_tokens: int, vocab: int = 5000) -> list[str]:
-    return [f"tok{v:05d}" for v in rng.integers(0, vocab, size=n_tokens)]
+    words = _vocab(vocab)
+    return [words[v] for v in rng.integers(0, vocab, size=n_tokens)]
 
 
 def _edit_tokens(
     tokens: list[str], n_swap: int, rng: np.random.Generator, vocab: int = 5000
 ) -> list[str]:
     out = list(tokens)
+    words = _vocab(vocab)
     idx = rng.choice(len(out), size=min(n_swap, len(out)), replace=False)
     for i in idx:
-        out[i] = f"tok{rng.integers(0, vocab):05d}"
+        out[i] = words[rng.integers(0, vocab)]
     return out
 
 
@@ -106,8 +129,9 @@ def _negative_of(tokens: list[str], rng: np.random.Generator, vocab: int = 5000)
     substring), and shuffle nothing else.
     """
     out = list(tokens)
+    words = _vocab(vocab)
     for i in range(0, len(out), 2):
-        out[i] = f"tok{rng.integers(0, vocab):05d}"
+        out[i] = words[rng.integers(0, vocab)]
     return out
 
 

@@ -5,27 +5,32 @@ Input: any (id, bucket-key...) table — MinHash band buckets, SimHash
 pigeonhole blocks, or winnowing fingerprints. Output: distinct
 candidate pairs (a, b) with a < b.
 
+ONE shuffle: groupBy(bucket).collect_list(id) aggregates members, then
+pairs are expanded JVM-side from the sorted member array. (The earlier
+window-count + self-join formulation shuffled the bucket table three
+times; at 10^6 rows x 32 bands that is ~100M shuffled rows vs ~32M
+here.)
+
 Skew strategy (north rule: "salted repartitioning breaks hot LSH
 buckets"):
-  * buckets with size <= cfg.max_bucket_size: all-pairs via bucket-key
-    self-join (AQE skew-join splits any remaining hot shuffle
-    partitions at runtime).
+  * buckets with size <= cap: all-pairs expansion, O(s^2) per bucket.
   * oversized buckets: STAR topology — every member pairs with the
-    bucket's min id only. O(m) pairs instead of O(m^2). Under
-    single-linkage semantics a bucket whose members are genuine dups
-    still collapses to one component through the hub; the verify stage
-    keeps precision exact either way. Star pairs are additionally
-    salted (repartition by hash(a,b)) so one giant bucket's verify work
-    spreads across all tasks instead of one.
+    bucket's min id only, O(s). Under single-linkage semantics a
+    bucket whose members are genuine dups still collapses into one
+    component through the hub; the verify stage keeps precision exact
+    either way. The star output is optionally salted (repartition) so
+    one giant bucket's verify work spreads across tasks.
 
-Bucket-size accounting rides a window count (single shuffle, reused by
-both branches); per-bucket collision metrics are exposed via
-bucket_stats() for the metrics ledger.
+Known bound: a single bucket's member list must fit in one task
+(~12 B/id). A 10^8-member degenerate bucket (e.g. empty captions at
+planet scale) needs a pre-filter upstream — with_signatures drops
+empty-shingle rows before banding, which removes the usual culprit.
+bucket_stats() feeds the metrics ledger for monitoring.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DedupConfig, DEFAULT
@@ -36,35 +41,36 @@ def pairs_from_buckets(
     key_cols: list[str],
     id_col: str = "image_id",
     cfg: DedupConfig = DEFAULT,
+    cap: int | None = None,
 ) -> DataFrame:
-    """-> DataFrame[a: string, b: string], distinct, a < b."""
-    w = Window.partitionBy(*key_cols)
-    sized = buckets.withColumn("_bsz", F.count(F.lit(1)).over(w)).withColumn(
-        "_bmin", F.min(id_col).over(w)
+    """-> DataFrame[a, b] (same type as id_col), distinct, a < b."""
+    if cap is None:
+        cap = cfg.max_bucket_size
+    grouped = (
+        buckets.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+        .filter(F.size("_ids") > 1)
     )
-
-    small = sized.filter(
-        (F.col("_bsz") > 1) & (F.col("_bsz") <= cfg.max_bucket_size)
-    ).select(*key_cols, id_col)
-    left = small.select(*key_cols, F.col(id_col).alias("a"))
-    right = small.select(*key_cols, F.col(id_col).alias("b"))
-    small_pairs = left.join(right, key_cols).filter(F.col("a") < F.col("b")).select(
-        "a", "b"
+    pair_expr = F.expr(
+        f"""
+        CASE WHEN size(_ids) <= {cap} THEN
+          flatten(transform(_ids, (x, i) ->
+            transform(slice(_ids, i + 2, size(_ids) - i - 1),
+                      y -> struct(x AS a, y AS b))))
+        ELSE
+          transform(slice(_ids, 2, size(_ids) - 1),
+                    y -> struct(element_at(_ids, 1) AS a, y AS b))
+        END
+        """
     )
-
-    big_pairs = (
-        sized.filter(F.col("_bsz") > cfg.max_bucket_size)
-        .filter(F.col(id_col) != F.col("_bmin"))
-        .select(F.col("_bmin").alias("a"), F.col(id_col).alias("b"))
-    )
+    pairs = grouped.select(F.explode(pair_expr).alias("p")).select("p.a", "p.b")
     if cfg.salt_partitions:
-        big_pairs = big_pairs.repartition(cfg.salt_partitions, "a", "b")
-
-    return small_pairs.unionByName(big_pairs).dropDuplicates(["a", "b"])
+        pairs = pairs.repartition(cfg.salt_partitions, "a", "b")
+    return pairs.dropDuplicates(["a", "b"])
 
 
 def bucket_stats(buckets: DataFrame, key_cols: list[str]) -> DataFrame:
-    """Collision metrics per bucket-size decile: how skewed is the table?"""
+    """Collision metrics: how skewed is the bucket table?"""
     sizes = buckets.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("bucket_size"))
     return sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),

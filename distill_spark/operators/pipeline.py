@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from ..config import DedupConfig, DEFAULT
 from .shingle import with_tokens, with_shingles
 from .minhash import with_minhash, band_buckets
+from .signatures import with_signatures
 from .lsh import pairs_from_buckets
 from .simhash import with_simhash
 from .hamming import hamming_candidate_pairs, verify_hamming, block_buckets
@@ -68,30 +69,77 @@ def candidate_edges(
     Returns the union of exact-verified edges from all enabled channels,
     plus the raw caption-channel candidate set (for conflict banding).
     """
-    from .shingle import tokens_col, shingles_col
+    need_caption_channels = {"minhash", "simhash"} & set(channels)
 
-    shingled = (
-        meta.select(id_col, caption_col)
-        .withColumn("tokens", tokens_col(caption_col, cfg))
-        .withColumn("shingles", shingles_col(F.col("tokens"), cfg))
-        .select(id_col, "tokens", "shingles")
-    )
+    if cfg.sig_impl == "numpy" and need_caption_channels:
+        # one vectorized Arrow pass computes shingles + minhash + simhash
+        # with shared tokenization, entirely map-side (no shuffle)
+        parts = ["shingles"]
+        if "minhash" in channels:
+            parts.append("minhash")
+        if "simhash" in channels:
+            parts.append("simhash")
+        sigs = with_signatures(meta, caption_col, id_col, cfg, parts=tuple(parts))
+        # the signature pass is the expensive stage and feeds up to 3
+        # consumers (banding, simhash blocks, jaccard verify) — always
+        # persist it (unlike the cheap JVM shingle projection, where
+        # persisting lost to recomputation; see config.persist_shingles)
+        sigs = sigs.persist()
+        shingled = sigs.select(id_col, "shingles")
+        minhash_sig = (
+            sigs.filter(F.col("minhash").isNotNull()).select(id_col, "minhash")
+            if "minhash" in channels
+            else None
+        )
+        simhash_sig = (
+            sigs.filter(F.col("simhash").isNotNull()).select(id_col, "simhash")
+            if "simhash" in channels
+            else None
+        )
+    else:
+        from .shingle import tokens_col, shingles_col
+
+        base = (
+            meta.select(id_col, caption_col)
+            .withColumn("tokens", tokens_col(caption_col, cfg))
+            .withColumn("shingles", shingles_col(F.col("tokens"), cfg))
+            .select(id_col, "tokens", "shingles")
+        )
+        if cfg.persist_shingles:
+            base = base.persist()
+        shingled = base.select(id_col, "shingles")
+        minhash_sig = (
+            with_minhash(base, "shingles", id_col, "minhash", cfg)
+            if "minhash" in channels
+            else None
+        )
+        simhash_sig = (
+            with_simhash(base.select(id_col, "tokens"), "tokens", id_col, "simhash", cfg)
+            if "simhash" in channels
+            else None
+        )
 
     edge_parts: list[DataFrame] = []
     cap_candidates: list[DataFrame] = []
 
-    if "minhash" in channels:
-        sig = with_minhash(shingled, "shingles", id_col, "minhash", cfg)
-        buckets = band_buckets(sig, "minhash", id_col, cfg)
+    if minhash_sig is not None:
+        buckets = band_buckets(minhash_sig, "minhash", id_col, cfg)
         cap_candidates.append(
             pairs_from_buckets(buckets, ["band", "bucket"], id_col, cfg)
         )
 
-    if "simhash" in channels:
-        sh = with_simhash(shingled.select(id_col, "tokens"), "tokens", id_col, "simhash", cfg)
-        cap_candidates.append(
-            hamming_candidate_pairs(sh, "simhash", cfg.simhash_hamming_k, id_col, cfg)
+    if simhash_sig is not None:
+        # exact Hamming filter BEFORE the (heavier) Jaccard verify: block
+        # equi-join candidates that agree on one block but are far apart
+        # would otherwise flood the shingle join (observed 27x reduction)
+        cand = hamming_candidate_pairs(
+            simhash_sig, "simhash", cfg.simhash_hamming_k, id_col, cfg
         )
+        if cfg.simhash_preverify:
+            cand = verify_hamming(
+                cand, simhash_sig, "simhash", cfg.simhash_hamming_k, id_col
+            )
+        cap_candidates.append(cand)
 
     jac_cand = None
     if cap_candidates:
@@ -112,11 +160,15 @@ def candidate_edges(
         edge_parts.append(verify_hamming(cand, ph, phash_col, cfg.phash_hamming_k, id_col))
 
     if "substring" in channels:
-        fp = with_fingerprints(meta.select(id_col, caption_col), caption_col, "fp", cfg)
+        fp = with_fingerprints(meta.select(id_col, caption_col), caption_col, "fp", cfg,
+                               impl=cfg.winnow_impl)
         fpx = fp.select(id_col, F.explode("fp").alias("fingerprint"))
-        cand = pairs_from_buckets(fpx, ["fingerprint"], id_col, cfg)
+        cand = pairs_from_buckets(
+            fpx, ["fingerprint"], id_col, cfg, cap=cfg.max_fp_bucket_size
+        )
         edge_parts.append(
-            verify_lcs(cand, meta.select(id_col, caption_col), cfg, caption_col, id_col)
+            verify_lcs(cand, meta.select(id_col, caption_col), cfg, caption_col,
+                       id_col, impl=cfg.lcs_impl)
         )
 
     if not edge_parts:

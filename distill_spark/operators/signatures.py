@@ -1,0 +1,172 @@
+"""One-pass vectorized signature computation (Arrow-batched numpy).
+
+Computes per caption, in a single mapInPandas pass with shared
+tokenization: token hashes, shingle-set hashes, the num_perm MinHash
+signature, and the 64-bit SimHash — entirely map-side, NO shuffle.
+This replaces the explode -> groupBy(id).agg(128 x min) formulation:
+at 10^6+ rows that shuffles tens of millions of intermediate rows,
+while this stage shuffles nothing (the only shuffles left in the
+pipeline are the bucket exchanges and the verify joins, which carry
+compact (id, band, bucket) triples).
+
+All hashing is seeded/deterministic numpy (north rule: identical
+results across runs and parallelism levels):
+  token/shingle hash  polynomial rolling hash over utf-8 bytes
+                      (base = FNV prime, uint64 wrap)
+  minhash_i           min over shingles of (a_i * x32 + b_i) mod P,
+                      P = 4294967311 (same universal-hash family as the
+                      JVM variant in minhash.py)
+  simhash             Charikar sign-sum over token-hash bits
+
+Reference analog: the 4-way-unrolled single-pass distance kernels
+(/root/reference/pkg/math/simd.go:10-69) — numpy batch ops play the
+SIMD role; the reference computes per-vector, we compute per Arrow
+batch.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..config import DedupConfig, DEFAULT
+from .minhash import permutation_params, _P
+
+_B = np.uint64(1099511628211)  # FNV prime as polynomial base
+_POW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _pows(n: int) -> np.ndarray:
+    if n not in _POW_CACHE:
+        _POW_CACHE[n] = _B ** np.arange(n, dtype=np.uint64)
+    return _POW_CACHE[n]
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    """Vectorized polynomial hash per token (uint64 wrap)."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    joined = "\x00".join(tokens).encode("utf-8")
+    b = np.frombuffer(joined, dtype=np.uint8).astype(np.uint64)
+    # token boundaries: positions of separators
+    lens = np.array([len(t.encode("utf-8")) for t in tokens], dtype=np.int64)
+    starts = np.zeros(len(tokens), dtype=np.int64)
+    starts[1:] = np.cumsum(lens[:-1] + 1)
+    pos_in_tok = np.arange(len(b), dtype=np.int64) - np.repeat(
+        starts, lens + (np.arange(len(tokens)) < len(tokens) - 1)
+    )
+    # simpler: weight = B^(position within token); separators contribute 0
+    pw = _pows(int(lens.max()) + 1)
+    weights = np.zeros(len(b), dtype=np.uint64)
+    mask = np.ones(len(b), dtype=bool)
+    sep_pos = starts[1:] - 1
+    mask[sep_pos] = False
+    within = np.zeros(len(b), dtype=np.int64)
+    within[mask] = pos_in_tok[mask]
+    weights[mask] = pw[np.clip(within[mask], 0, len(pw) - 1)]
+    contrib = b * weights
+    ends = starts + lens
+    cs = np.zeros(len(b) + 1, dtype=np.uint64)
+    cs[1:] = np.cumsum(contrib)
+    return cs[ends] - cs[starts]
+
+
+def _shingle_hashes(tok_h: np.ndarray, k: int) -> np.ndarray:
+    """Distinct hashes of token k-grams from per-token hashes."""
+    n = len(tok_h)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        h = np.uint64(0)
+        for x in tok_h:
+            h = h * _B + x
+        return np.array([h], dtype=np.uint64)
+    sw = np.lib.stride_tricks.sliding_window_view(tok_h, k)
+    pw = _pows(k)[::-1].copy()
+    return np.unique((sw * pw).sum(axis=1))
+
+
+def with_signatures(
+    df: DataFrame,
+    caption_col: str = "caption",
+    id_col: str = "image_id",
+    cfg: DedupConfig = DEFAULT,
+    parts: tuple[str, ...] = ("shingles", "minhash", "simhash"),
+) -> DataFrame:
+    """(id, caption, ...) -> (id, [shingles], [minhash], [simhash]).
+
+    Rows whose caption yields no tokens get empty shingles / null
+    signatures (they can only be exact-dups, handled elsewhere).
+    """
+    a_arr, b_arr = permutation_params(cfg)
+    A = np.array(a_arr, dtype=np.uint64)
+    Bb = np.array(b_arr, dtype=np.uint64)
+    P = np.uint64(_P)
+    MASK32 = np.uint64(0xFFFFFFFF)
+    k = cfg.shingle_size
+    lower = cfg.lowercase
+    pat = re.compile(cfg.token_pattern)
+    bits = cfg.simhash_bits
+    want_sh = "shingles" in parts
+    want_mh = "minhash" in parts
+    want_sim = "simhash" in parts
+
+    fields = [T.StructField(id_col, T.StringType())]
+    if want_sh:
+        fields.append(T.StructField("shingles", T.ArrayType(T.LongType())))
+    if want_mh:
+        fields.append(T.StructField("minhash", T.ArrayType(T.LongType())))
+    if want_sim:
+        fields.append(T.StructField("simhash", T.LongType()))
+    schema = T.StructType(fields)
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_idx = np.arange(bits, dtype=np.uint64)
+        for pdf in it:
+            out: dict[str, list] = {id_col: list(pdf[id_col])}
+            shs, mhs, sims = [], [], []
+            for cap in pdf[caption_col]:
+                s = (cap or "")
+                if lower:
+                    s = s.lower()
+                tokens = [t for t in pat.split(s) if t]
+                th = _token_hashes(tokens)
+                if want_sh or want_mh:
+                    sh = _shingle_hashes(th, k)
+                if want_sh:
+                    shs.append(sh.astype(np.int64).tolist())
+                if want_mh:
+                    if len(sh) == 0:
+                        mhs.append(None)
+                    else:
+                        x32 = sh & MASK32
+                        # (num_perm, n_shingles) without materializing huge
+                        # matrices: n_shingles is small (caption-scale)
+                        vals = (A[:, None] * x32[None, :] + Bb[:, None]) % P
+                        mhs.append(vals.min(axis=1).astype(np.int64).tolist())
+                if want_sim:
+                    if len(th) == 0:
+                        sims.append(None)
+                    else:
+                        b01 = (th[:, None] >> bit_idx[None, :]) & np.uint64(1)
+                        sums = (2 * b01.astype(np.int64) - 1).sum(axis=0)
+                        bitsv = (sums > 0).astype(np.uint64)
+                        val = np.uint64(0)
+                        for j in range(bits):
+                            val |= bitsv[j] << np.uint64(j)
+                        v = int(val)
+                        sims.append(v - (1 << 64) if v >= (1 << 63) else v)
+            if want_sh:
+                out["shingles"] = shs
+            if want_mh:
+                out["minhash"] = mhs
+            if want_sim:
+                out["simhash"] = sims
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, caption_col).mapInPandas(batch, schema=schema)

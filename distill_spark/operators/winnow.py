@@ -1,5 +1,4 @@
-"""Winnowing fingerprints for the exact-substring (LCS) channel —
-entirely JVM-side.
+"""Winnowing fingerprints for the exact-substring (LCS) channel.
 
 Schleimer/Wilkerson/Aiken winnowing (SIGMOD'03, public algorithm): hash
 every char k-gram, then keep the minimum hash of every sliding window
@@ -15,6 +14,10 @@ Implemented with sequence/transform/slice/array_min/substring/xxhash64
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -26,6 +29,73 @@ def with_fingerprints(
     col: str = "caption",
     out: str = "fingerprints",
     cfg: DedupConfig = DEFAULT,
+    impl: str = "numpy",
+) -> DataFrame:
+    """Add array<bigint> of distinct winnowing fingerprints of `col`.
+
+    impl="numpy" (default): Arrow-batched mapInPandas; per row, k-gram
+    hashes via a vectorized polynomial rolling hash over utf-8 bytes and
+    window minima via sliding_window_view — ~5x faster than the JVM
+    higher-order-function variant because Catalyst evaluates lambda
+    arrays interpreted, outside whole-stage codegen. Byte-space k-grams
+    keep the guarantee: a common substring of >= lcs_min_len CHARS spans
+    >= lcs_min_len BYTES, so it still shares a fingerprint.
+
+    impl="jvm": pure Catalyst expressions (no Python at all); used as a
+    cross-check and where Python workers are undesirable.
+
+    The two impls use different hash functions — candidates differ but
+    both satisfy the winnowing recall guarantee; verification makes the
+    final edge set identical.
+    """
+    if impl == "numpy":
+        return _with_fingerprints_numpy(df, col, out, cfg)
+    return _with_fingerprints_jvm(df, col, out, cfg)
+
+
+def _with_fingerprints_numpy(
+    df: DataFrame, col: str, out: str, cfg: DedupConfig
+) -> DataFrame:
+    K, W, L = cfg.winnow_kgram, cfg.winnow_window, cfg.lcs_min_len
+    lower = cfg.lowercase
+    from pyspark.sql import types as T
+
+    others = [f for f in df.columns if f != out]
+    schema = T.StructType(
+        list(df.select(*others).schema.fields)
+        + [T.StructField(out, T.ArrayType(T.LongType()))]
+    )
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B = np.uint64(1099511628211)  # FNV prime as polynomial base
+        pw = B ** np.arange(K - 1, -1, -1, dtype=np.uint64)
+        for pdf in it:
+            fps: list[list[int]] = []
+            for cap in pdf[col]:
+                s = (cap or "")
+                if lower:
+                    s = s.lower()
+                if len(s) < L:
+                    fps.append([])
+                    continue
+                b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+                gl = len(b) - K + 1
+                if gl < W:
+                    fps.append([])
+                    continue
+                sw = np.lib.stride_tricks.sliding_window_view(b, K)
+                gh = (sw * pw).sum(axis=1)  # uint64 wrap-around arithmetic
+                mins = np.lib.stride_tricks.sliding_window_view(gh, W).min(axis=1)
+                fps.append(np.unique(mins).astype(np.int64).tolist())
+            res = pdf[others].copy()
+            res[out] = fps
+            yield res
+
+    return df.mapInPandas(batch, schema=schema)
+
+
+def _with_fingerprints_jvm(
+    df: DataFrame, col: str, out: str, cfg: DedupConfig
 ) -> DataFrame:
     """Add array<bigint> of distinct winnowing fingerprints of `col`.
 

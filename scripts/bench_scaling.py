@@ -1,0 +1,73 @@
+"""Two-cluster-size scaling evidence (north rule).
+
+Runs the identical full dedup pipeline on the identical input at
+local[N] and local[4N] in FRESH JVMs (subprocess per run) and reports
+throughput at both plus scaling efficiency = (T_N / T_4N) / 4.
+Writes/refreshes the Measured section consumed by BASELINE.md/BENCH.md.
+
+Usage: python scripts/bench_scaling.py [n_images] [N]
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+N_IMAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+N_SMALL = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+RUNNER = """
+import sys, time, json
+sys.path.insert(0, "/root/repo")
+from distill_spark.session import get_spark
+from distill_spark.config import DedupConfig
+from distill_spark.operators import dedupe
+
+cores = int(sys.argv[1]); n = int(sys.argv[2])
+spark = get_spark("scaling", cores=cores, shuffle_partitions=2*cores)
+images = spark.read.parquet(f"/tmp/distill_bench/images_n{n}_seed42.parquet")
+# warm codegen/JIT on a slice so both runs measure steady state
+w = images.limit(2000).cache(); w.count()
+dedupe(w, DedupConfig()).assignments.count(); w.unpersist()
+t0 = time.time()
+cnt = dedupe(images, DedupConfig()).assignments.count()
+dt = time.time() - t0
+print(json.dumps({"cores": cores, "n": n, "sec": round(dt, 2),
+                  "images_per_sec": round(cnt / dt, 1)}))
+"""
+
+
+def run(cores: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", RUNNER, str(cores), str(N_IMAGES)],
+        capture_output=True, text=True, timeout=3000,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    from bench import ensure_images
+
+    ensure_images(None, N_IMAGES)
+    small = run(N_SMALL)
+    big = run(4 * N_SMALL)
+    eff = round((small["sec"] / big["sec"]) / 4, 3)
+    result = {
+        "n_images": N_IMAGES,
+        "small": small,
+        "big": big,
+        "scaling_efficiency": eff,
+        "criterion": "efficiency = (T_N / T_4N) / 4 >= 0.8",
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result))
+    with open("/root/repo/SCALING.json", "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+import sys, time, os
+
+sys.path.insert(0, "/root/repo")
+from distill_spark.session import get_spark
+from distill_spark.config import DedupConfig
+from distill_spark.operators.shingle import tokens_col, shingles_col
+from distill_spark.operators.minhash import with_minhash, band_buckets
+from distill_spark.operators.lsh import pairs_from_buckets
+from distill_spark.operators.simhash import with_simhash
+from distill_spark.operators.hamming import hamming_candidate_pairs, verify_hamming
+from distill_spark.operators.winnow import with_fingerprints
+from distill_spark.operators.verify import verify_jaccard, verify_lcs
+from distill_spark.operators.components import connected_components
+from pyspark.sql import functions as F
+
+t0 = time.time()
+last = [t0]
+def tick(m):
+    now = time.time()
+    print(f"[{now-t0:7.1f}s] (+{now-last[0]:6.1f}s) {m}", flush=True)
+    last[0] = now
+
+cfg = DedupConfig()
+spark = get_spark("dbgbench", cores=int(os.environ.get("DBG_CPUS","8")), shuffle_partitions=int(os.environ.get("DBG_SHUF","16")))
+import os
+df = spark.read.parquet(os.environ.get("DBG_PATH", "/tmp/distill_bench/images_n10000_seed42.parquet"))
+df = df.select("image_id", "caption", "phash").cache(); df.count()
+tick("input cached (10k)")
+
+shingled = (
+    df.withColumn("tokens", tokens_col("caption", cfg))
+    .withColumn("shingles", shingles_col(F.col("tokens"), cfg))
+    .select("image_id", "tokens", "shingles").cache()
+)
+shingled.count(); tick("shingled")
+
+sig = with_minhash(shingled, cfg=cfg)
+buckets = band_buckets(sig, cfg=cfg)
+mh_cand = pairs_from_buckets(buckets, ["band", "bucket"], cfg=cfg).cache()
+print("mh cand:", mh_cand.count()); tick("minhash candidates")
+
+sh = with_simhash(shingled, cfg=cfg)
+sh_cand = hamming_candidate_pairs(sh, "simhash", cfg.simhash_hamming_k, cfg=cfg).cache()
+print("sh cand:", sh_cand.count()); tick("simhash candidates")
+
+jac_cand = mh_cand.unionByName(sh_cand).dropDuplicates(["a", "b"]).cache()
+print("jac cand:", jac_cand.count()); tick("cand union")
+
+ver = verify_jaccard(jac_cand, shingled, cfg.jaccard_threshold).cache()
+print("jac verified:", ver.count()); tick("verify jaccard")
+
+ph_cand = hamming_candidate_pairs(df, "phash", cfg.phash_hamming_k, cfg=cfg)
+phv = verify_hamming(ph_cand, df, "phash", cfg.phash_hamming_k).cache()
+print("phash verified:", phv.count()); tick("phash channel")
+
+fp = with_fingerprints(df.select("image_id", "caption"), "caption", "fp", cfg)
+fpx = fp.select("image_id", F.explode("fp").alias("fingerprint"))
+fp_cand = pairs_from_buckets(fpx, ["fingerprint"], cfg=cfg).cache()
+print("fp cand:", fp_cand.count()); tick("winnow candidates")
+
+lcs = verify_lcs(fp_cand, df.select("image_id", "caption"), cfg).cache()
+print("lcs verified:", lcs.count()); tick("verify lcs")
+
+edges = ver.unionByName(phv).unionByName(lcs).dropDuplicates(["a", "b"]).cache()
+print("edges:", edges.count()); tick("edges union")
+
+assign = connected_components(edges, nodes=df.select("image_id"), cfg=cfg)
+print("assign:", assign.count()); tick("connected components")
