@@ -407,6 +407,76 @@ def q_image_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prune_fillers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filler-phrase pruning (reference pkg/compress/pruner.go:25-137) —
+    SQL-checkable regexp_replace chain; fillers planted since the
+    driver corpus contains none."""
+    from distill_spark.functions.compress import prune_fillers
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("Basically, it is very true that "), F.col("text")).alias("text"),
+    )
+    return d.select("doc_id", prune_fillers("text").alias("pruned"))
+
+
+def q_extractive_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractive compression (rows-only; pandas stage)."""
+    from distill_spark.functions.compress import extractive_compress
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = extractive_compress(d, "text", "compressed", target_ratio=0.5)
+    return out.select(
+        "doc_id",
+        F.length("compressed").cast("long").alias("n_chars_out"),
+    )
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank of the top-20 longest docs (rows-only)."""
+    from distill_spark.operators.rerank import mmr_rerank
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            F.format_string("doc%07d", F.col("doc_id")).alias("image_id"),
+            F.col("text").alias("caption"),
+            F.col("n_chars").cast("double").alias("score"),
+        )
+    )
+    return mmr_rerank(d, k=8, lam=0.5).select("image_id", "mmr_rank")
+
+
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: brightness/contrast/phash of synthetic
+    rgb8 payloads (rows-only; binary column consumed map-side)."""
+    from distill_spark.functions.multimodal import with_image_stats
+
+    images = images_from_documents(spark, sf_dir, with_payload=True)
+    return with_image_stats(images)
+
+
+def q_write_time_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memory-store write-time dedup (rows-only): second batch of exact
+    copies must dedupe to zero inserts (reference memory_test.go:71)."""
+    import tempfile
+
+    from distill_spark.memory import MemoryStore
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    batch1 = d.select(F.format_string("m%05d", F.col("doc_id")).alias("id"), "text")
+    batch2 = d.select(F.format_string("n%05d", F.col("doc_id")).alias("id"), "text")
+    store = MemoryStore(spark, tempfile.mkdtemp(prefix="dsmem_"))
+    store.store_batch(batch1)
+    res = store.store_batch(batch2)
+    return res.duplicates.groupBy().agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("new_id").alias("n_deduped"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full multi-channel dedup pipeline at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -440,6 +510,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_stats": q_dedup_stats,
         "image_brightness": q_image_brightness,
+        "prune_fillers": q_prune_fillers,
+        "extractive_compress": q_extractive_compress,
+        "mmr_rerank": q_mmr_rerank,
+        "image_stats": q_image_stats,
+        "write_time_dedup": q_write_time_dedup,
     }
 
 
@@ -676,6 +751,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, (CASE {sens_patterns} ELSE 0 END)::BIGINT AS level
             FROM corpus
         """,
-        # dedup_clusters / dedup_stats / image_brightness: non-SQL-expressible
-        # (iterative connected components / binary payload decode) -> rows-only.
+        "prune_fillers": _prune_fillers_sql(),
+        # dedup_clusters / dedup_stats / image_brightness / image_stats /
+        # extractive_compress / mmr_rerank / write_time_dedup:
+        # non-SQL-expressible (iterative clustering, binary decode, pandas
+        # stages, greedy selection, stateful store) -> rows-only checks.
     }
+
+
+def _prune_fillers_sql() -> str:
+    """Same regexp chain as functions.compress.prune_fillers, generated
+    from the same phrase list so the two engines cannot drift."""
+    from distill_spark.functions.compress import FILLER_PHRASES, INTENSIFIERS
+
+    expr = "concat('Basically, it is very true that ', text)"
+    for p in FILLER_PHRASES:
+        pat = r"(?i)\b" + p.replace(" ", r"\s+") + r"\b[,]?\s*"
+        expr = f"regexp_replace({expr}, '{pat}', '', 'g')"
+    expr = f"regexp_replace({expr}, '(?i){INTENSIFIERS}', '', 'g')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    return f"SELECT doc_id, {expr} AS pruned FROM documents"

@@ -1,0 +1,113 @@
+"""Deterministic text compression — extractive + filler pruning.
+
+Reference (file:line into /root/reference):
+  extractive  split sentences on .!? (pkg/compress/extractive.go:112-133),
+              score by position/length-band/digit signals (:136-169),
+              take top sentences under a token budget, restore original
+              order (:82-108,177-195); short texts bypass (:38-43)
+  pruner      filler phrases + intensifier regexes + whitespace
+              normalization (pkg/compress/pruner.go:25-137)
+  token est   ceil(len/4) (extractive.go:197-203)
+
+Both are pure per-row text transforms -> JVM-side expression chains
+(pruner) and an Arrow-batched pandas stage (extractive, needs per-
+sentence scoring + reordering).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+FILLER_PHRASES = [
+    "as a matter of fact", "at the end of the day", "needless to say",
+    "it goes without saying that", "for all intents and purposes",
+    "in order to", "due to the fact that", "in the event that",
+    "it is important to note that", "basically", "essentially",
+    "actually", "literally", "obviously", "of course", "clearly",
+]
+INTENSIFIERS = r"\b(very|really|quite|extremely|incredibly|absolutely|totally)\s+"
+
+
+def prune_fillers(col: str | Column) -> Column:
+    """Chained regexp_replace removing filler phrases + intensifiers,
+    then whitespace normalization — all JVM-side."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    for p in FILLER_PHRASES:
+        c = F.regexp_replace(c, r"(?i)\b" + p.replace(" ", r"\s+") + r"\b[,]?\s*", "")
+    c = F.regexp_replace(c, r"(?i)" + INTENSIFIERS, "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def _score_sentence(s: str, idx: int, total: int) -> float:
+    """Position + length band + digit signals (extractive.go:136-169)."""
+    score = 0.0
+    if idx == 0:
+        score += 0.3
+    elif idx == total - 1:
+        score += 0.15
+    n = len(s)
+    if 40 <= n <= 200:
+        score += 0.3
+    elif n > 20:
+        score += 0.1
+    if any(ch.isdigit() for ch in s):
+        score += 0.2
+    return score
+
+
+def extractive_compress_batch(
+    it: Iterator[pd.DataFrame], text_col: str, out_col: str,
+    target_ratio: float, min_len: int,
+) -> Iterator[pd.DataFrame]:
+    import re
+
+    split_re = re.compile(r"(?<=[.!?])\s+")
+    for pdf in it:
+        outs = []
+        for text in pdf[text_col]:
+            t = text or ""
+            if len(t) < min_len:
+                outs.append(t)
+                continue
+            sentences = [s for s in split_re.split(t) if s.strip()]
+            if len(sentences) <= 1:
+                outs.append(t)
+                continue
+            budget = max(int((len(t) + 3) // 4 * target_ratio), 1)
+            scored = sorted(
+                range(len(sentences)),
+                key=lambda i: (-_score_sentence(sentences[i], i, len(sentences)), i),
+            )
+            chosen: list[int] = []
+            used = 0
+            for i in scored:
+                cost = (len(sentences[i]) + 3) // 4
+                if used + cost > budget and chosen:
+                    continue
+                chosen.append(i)
+                used += cost
+            chosen.sort()  # restore original order (extractive.go:177-195)
+            outs.append(" ".join(sentences[i] for i in chosen))
+        res = pdf.copy()
+        res[out_col] = outs
+        yield res
+
+
+def extractive_compress(
+    df: DataFrame, text_col: str = "text", out_col: str = "compressed",
+    target_ratio: float = 0.5, min_len: int = 100,
+) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.StringType())]
+    )
+    return df.mapInPandas(
+        lambda it: extractive_compress_batch(it, text_col, out_col, target_ratio, min_len),
+        schema=schema,
+    )

@@ -1,0 +1,299 @@
+"""Persistent memory store with write-time dedup — batch/Spark-native.
+
+Reference: pkg/memory/store.go + pkg/memory/sqlite.go in
+/root/reference. The reference probes EVERY new entry against ALL
+stored embeddings with an early-exit linear scan
+(sqlite.go:243-279 — the author's own TODO asks for an ANN index);
+we replace it with the canonical Spark formulation: a batched
+MinHash-LSH anti-join of the incoming batch against the stored
+signature table. Semantics preserved:
+
+  dup        similarity >= dup threshold -> do not insert; touch the
+             existing entry (access_count++, last_referenced)
+             (sqlite.go:136-148)
+  conflict   conflict band: between conflict and dup thresholds ->
+             insert anyway, record the conflict pair
+             (sqlite.go:155-162,268-275; thresholds store.go:229-239)
+  recall     filter expiry/tags -> blend similarity with recency
+             (1/(1+age_h/24), sqlite.go:381-413) -> threshold -> sort
+             -> token-budget take-while (sqlite.go:439-451) -> touch
+  forget     hard delete by ids/tags/age (sqlite.go:526-575)
+  expire     soft delete flag + timestamp (sqlite.go:578-610)
+  supersede  expire old + forward pointer (sqlite.go:613-648)
+  decay      age-bucketed level transitions (decay.go:36-177)
+
+Similarity here is caption/text shingle Jaccard (the engine's exact
+text predicate); an embedding-cosine variant plugs in through
+functions.vectors. Storage: a parquet directory with atomic
+publish (same pattern as checkpoint.py); on clusters this is an
+Iceberg MERGE INTO.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import DedupConfig
+from .operators.signatures import with_signatures
+from .operators.minhash import band_buckets
+from .operators.verify import jaccard_col
+from .functions.scoring import recency_score, decay_level
+from .functions.sensitivity import sensitivity_level
+from .functions.text import token_estimate
+
+MEMORY_SCHEMA = (
+    "id string, text string, tags array<string>, source string, "
+    "session string, created_at timestamp, last_referenced timestamp, "
+    "access_count long, expired boolean, expires_at timestamp, "
+    "superseded_by string, sensitivity long, decay_level long"
+)
+
+
+@dataclass
+class StoreResult:
+    stored: DataFrame     # rows actually inserted
+    duplicates: DataFrame # (new_id, existing_id, jaccard)
+    conflicts: DataFrame  # (new_id, existing_id, jaccard)
+
+
+class MemoryStore:
+    def __init__(self, spark: SparkSession, path: str, cfg: DedupConfig | None = None,
+                 dup_jaccard: float = 0.85, conflict_jaccard: float = 0.5):
+        self.spark, self.path = spark, path
+        self.cfg = cfg or DedupConfig()
+        self.dup_jaccard, self.conflict_jaccard = dup_jaccard, conflict_jaccard
+        os.makedirs(path, exist_ok=True)
+
+    # ------------------------------------------------------------- storage
+    def _data_path(self) -> str:
+        return os.path.join(self.path, "memories")
+
+    def snapshot(self) -> DataFrame:
+        p = self._data_path()
+        if not os.path.exists(p):
+            return self.spark.createDataFrame([], MEMORY_SCHEMA)
+        return self.spark.read.parquet(p)
+
+    def _publish(self, df: DataFrame) -> None:
+        """Atomic overwrite: write new version, swap directory."""
+        p = self._data_path()
+        tmp = p + "._tmp" + uuid.uuid4().hex[:6]
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(p):
+            old = p + "._old"
+            os.replace(p, old)
+            os.replace(tmp, p)
+            shutil.rmtree(old)
+        else:
+            os.replace(tmp, p)
+
+    # --------------------------------------------------------------- store
+    def _similar_pairs(self, new: DataFrame, existing: DataFrame) -> DataFrame:
+        """(new_id, existing_id, jaccard) for candidate pairs via LSH
+        band join of the new batch's signatures against stored ones."""
+        cfg = self.cfg
+        sig_new = with_signatures(new.select("id", "text"), "text", "id", cfg,
+                                  parts=("shingles", "minhash"))
+        sig_old = with_signatures(existing.select("id", "text"), "text", "id", cfg,
+                                  parts=("shingles", "minhash"))
+        bb_new = band_buckets(sig_new.filter(F.col("minhash").isNotNull()), "minhash", "id", cfg)
+        bb_old = band_buckets(sig_old.filter(F.col("minhash").isNotNull()), "minhash", "id", cfg)
+        cand = (
+            bb_new.select(F.col("id").alias("new_id"), "band", "bucket")
+            .join(bb_old.select(F.col("id").alias("existing_id"), "band", "bucket"),
+                  ["band", "bucket"])
+            .select("new_id", "existing_id")
+            .dropDuplicates(["new_id", "existing_id"])
+        )
+        sa = sig_new.select(F.col("id").alias("new_id"), F.col("shingles").alias("sh_a"))
+        sb = sig_old.select(F.col("id").alias("existing_id"), F.col("shingles").alias("sh_b"))
+        return (
+            cand.join(sa, "new_id").join(sb, "existing_id")
+            .withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
+            .select("new_id", "existing_id", "jaccard")
+        )
+
+    def store_batch(self, entries: DataFrame, now: F.Column | None = None) -> StoreResult:
+        """entries(id, text, tags?, source?, session?, expires_at?).
+
+        Write-time dedup: entries whose text is a near-dup (jaccard >=
+        dup threshold) of a live stored entry are NOT inserted; the
+        matched entry is touched. Conflict-band pairs are recorded and
+        inserted anyway. Everything is one batch of joins — no per-row
+        probing.
+        """
+        now = now if now is not None else F.current_timestamp()
+        existing = self.snapshot()
+        live = existing.filter(
+            (~F.col("expired"))
+            & (F.col("expires_at").isNull() | (F.col("expires_at") > now))
+        )
+
+        pairs = self._similar_pairs(entries, live).persist()
+        dups = pairs.filter(F.col("jaccard") >= self.dup_jaccard)
+        conflicts = pairs.filter(
+            (F.col("jaccard") >= self.conflict_jaccard)
+            & (F.col("jaccard") < self.dup_jaccard)
+        )
+
+        dup_new_ids = dups.select(F.col("new_id").alias("id")).distinct()
+        to_insert = entries.join(dup_new_ids, "id", "left_anti")
+
+        for col, default in [
+            ("tags", F.array().cast("array<string>")),
+            ("source", F.lit(None).cast("string")),
+            ("session", F.lit(None).cast("string")),
+            ("expires_at", F.lit(None).cast("timestamp")),
+        ]:
+            if col not in to_insert.columns:
+                to_insert = to_insert.withColumn(col, default)
+        inserted = to_insert.select(
+            "id", "text", "tags", "source", "session",
+            now.alias("created_at"), now.alias("last_referenced"),
+            F.lit(0).cast("long").alias("access_count"),
+            F.lit(False).alias("expired"),
+            "expires_at",
+            F.lit(None).cast("string").alias("superseded_by"),
+            sensitivity_level("text").cast("long").alias("sensitivity"),
+            F.lit(0).cast("long").alias("decay_level"),
+        )
+
+        touched_ids = dups.select(F.col("existing_id").alias("id")).distinct()
+        updated = (
+            existing.join(touched_ids.withColumn("_hit", F.lit(1)), "id", "left")
+            .withColumn("access_count",
+                        F.when(F.col("_hit").isNotNull(), F.col("access_count") + 1)
+                        .otherwise(F.col("access_count")))
+            .withColumn("last_referenced",
+                        F.when(F.col("_hit").isNotNull(), now)
+                        .otherwise(F.col("last_referenced")))
+            .drop("_hit")
+        )
+        self._publish(updated.unionByName(inserted))
+        return StoreResult(stored=inserted, duplicates=dups, conflicts=conflicts)
+
+    # -------------------------------------------------------------- recall
+    def recall(self, query: str, k: int = 8, min_relevance: float = 0.0,
+               tags: list[str] | None = None, token_budget: int | None = None,
+               recency_weight: float = 0.3, now: F.Column | None = None) -> DataFrame:
+        """-> (id, text, relevance) top-k by blended relevance."""
+        from pyspark.sql import Window
+
+        now = now if now is not None else F.current_timestamp()
+        cfg = self.cfg
+        mem = self.snapshot().filter(
+            (~F.col("expired"))
+            & (F.col("expires_at").isNull() | (F.col("expires_at") > now))
+        )
+        if tags:
+            mem = mem.filter(F.arrays_overlap(F.col("tags"), F.array(*[F.lit(t) for t in tags])))
+
+        sigs = with_signatures(mem.select("id", "text"), "text", "id", cfg, parts=("shingles",))
+        qdf = self.spark.createDataFrame([("q", query)], "id string, text string")
+        qsh = with_signatures(qdf, "text", "id", cfg, parts=("shingles",)) \
+            .select(F.col("shingles").alias("qsh"))
+        scored = (
+            mem.join(sigs, "id")
+            .crossJoin(F.broadcast(qsh))
+            .withColumn("sim", jaccard_col(F.col("shingles"), F.col("qsh")))
+            .withColumn("recency", recency_score("last_referenced", now))
+            .withColumn(
+                "relevance",
+                F.least((1 - recency_weight) * F.col("sim")
+                        + recency_weight * F.col("recency"), F.lit(1.0)),
+            )
+            .filter(F.col("relevance") >= min_relevance)
+        )
+        w = Window.orderBy(F.desc("relevance"), F.asc("id"))
+        out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        if token_budget is not None:
+            cum = Window.orderBy(F.desc("relevance"), F.asc("id")).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            out = out.withColumn("cum_tokens", F.sum(token_estimate("text")).over(cum)) \
+                     .filter(F.col("cum_tokens") <= token_budget)
+        return out.select("id", "text", F.round("relevance", 6).alias("relevance"))
+
+    # ----------------------------------------------------------- lifecycle
+    def forget(self, ids: list[str] | None = None, tags: list[str] | None = None) -> int:
+        mem = self.snapshot()
+        cond = F.lit(False)
+        if ids:
+            cond = cond | F.col("id").isin(ids)
+        if tags:
+            cond = cond | F.arrays_overlap(F.col("tags"), F.array(*[F.lit(t) for t in tags]))
+        kept = mem.filter(~cond)
+        removed = mem.count() - kept.count()
+        self._publish(kept)
+        return removed
+
+    def expire(self, ids: list[str], now: F.Column | None = None) -> None:
+        now = now if now is not None else F.current_timestamp()
+        mem = self.snapshot()
+        self._publish(
+            mem.withColumn(
+                "expired",
+                F.when(F.col("id").isin(ids), F.lit(True)).otherwise(F.col("expired")),
+            ).withColumn(
+                "expires_at",
+                F.when(F.col("id").isin(ids), now).otherwise(F.col("expires_at")),
+            )
+        )
+
+    def supersede(self, old_id: str, new_id: str, now: F.Column | None = None) -> None:
+        now = now if now is not None else F.current_timestamp()
+        mem = self.snapshot()
+        self._publish(
+            mem.withColumn(
+                "expired",
+                F.when(F.col("id") == old_id, F.lit(True)).otherwise(F.col("expired")),
+            ).withColumn(
+                "superseded_by",
+                F.when(F.col("id") == old_id, F.lit(new_id)).otherwise(F.col("superseded_by")),
+            ).withColumn(
+                "expires_at",
+                F.when(F.col("id") == old_id, now).otherwise(F.col("expires_at")),
+            )
+        )
+
+    def run_decay(self, now: F.Column | None = None,
+                  summary_h: float = 24.0, keywords_h: float = 168.0,
+                  evict_h: float = 720.0) -> DataFrame:
+        """Age-bucketed decay transitions; evict-age rows are dropped.
+        Returns the lifecycle-event rows (id, old_level, new_level)."""
+        now = now if now is not None else F.current_timestamp()
+        mem = self.snapshot()
+        lev = decay_level("created_at", now, summary_h, keywords_h, evict_h)
+        changed = mem.withColumn("new_level", lev.cast("long"))
+        events = changed.filter(F.col("new_level") != F.col("decay_level")).select(
+            "id", F.col("decay_level").alias("old_level"), "new_level"
+        )
+        events = events.persist()
+        events.count()
+        kept = (
+            changed.filter(F.col("new_level") < 3)
+            .withColumn("decay_level", F.col("new_level"))
+            .drop("new_level")
+        )
+        self._publish(kept)
+        return events
+
+    def stats(self) -> DataFrame:
+        """COUNT(*), expired count, per-level counts, min/max created
+        (reference Stats, sqlite.go:653-722)."""
+        mem = self.snapshot()
+        return mem.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.col("expired").cast("long")).alias("expired"),
+            F.min("created_at").alias("oldest"),
+            F.max("created_at").alias("newest"),
+            F.sum((F.col("decay_level") == 0).cast("long")).alias("level0"),
+            F.sum((F.col("decay_level") == 1).cast("long")).alias("level1"),
+            F.sum((F.col("decay_level") == 2).cast("long")).alias("level2"),
+        )

@@ -1,0 +1,97 @@
+"""MMR diversity re-ranking + diversity/coverage metrics.
+
+Reference: /root/reference/pkg/contextlab/mmr.go — greedy MMR
+(`Rerank` :50-100): score = lambda*rel - (1-lambda)*max_sim_to_selected,
+relevance min-max normalized (:103-136), lambda default 0.5, K=8.
+Diversity/coverage scores at :218-262.
+
+MMR is inherently sequential-greedy over the SELECTED set, but it only
+ever runs on the representative set (target-K scale, reference
+over-fetch is 50 rows), never the full corpus — so the reference's
+N x N similarity matrix (mmr.go:139-166) maps to a driver-side numpy
+computation after collecting the (tiny) candidate set. The expensive
+part — producing that candidate set — is the distributed pipeline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..oracle import shingle_set, jaccard
+from ..config import DedupConfig, DEFAULT
+
+
+def _similarity_matrix(texts: list[str], cfg: DedupConfig) -> np.ndarray:
+    sets = [shingle_set(t or "", cfg) for t in texts]
+    n = len(sets)
+    sim = np.eye(n)
+    for i in range(n):
+        for j in range(i + 1, n):
+            sim[i, j] = sim[j, i] = jaccard(sets[i], sets[j])
+    return sim
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 8,
+    lam: float = 0.5,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+    score_col: str = "score",
+    cfg: DedupConfig = DEFAULT,
+) -> DataFrame:
+    """Greedy MMR over a SMALL candidate DataFrame -> top-k rows with
+    mmr_rank column. Deterministic: ties break on id."""
+    pdf = candidates.select(id_col, text_col, score_col).toPandas()
+    if pdf.empty:
+        return candidates.sparkSession.createDataFrame(
+            [], f"{id_col} string, {text_col} string, {score_col} double, mmr_rank long"
+        )
+    # min-max normalize relevance (mmr.go:103-136)
+    s = pdf[score_col].astype(float).to_numpy()
+    rng = s.max() - s.min()
+    rel = (s - s.min()) / rng if rng > 0 else np.ones_like(s)
+    sim = _similarity_matrix(list(pdf[text_col]), cfg)
+    ids = list(pdf[id_col])
+
+    selected: list[int] = []
+    remaining = list(range(len(ids)))
+    while remaining and len(selected) < k:
+        best, best_score = None, -np.inf
+        for i in remaining:
+            max_sim = max((sim[i, j] for j in selected), default=0.0)
+            mmr = lam * rel[i] - (1 - lam) * max_sim
+            if mmr > best_score or (mmr == best_score and ids[i] < ids[best]):
+                best, best_score = i, mmr
+        selected.append(best)
+        remaining.remove(best)
+
+    out = pdf.iloc[selected].copy()
+    out["mmr_rank"] = np.arange(1, len(selected) + 1)
+    return candidates.sparkSession.createDataFrame(out)
+
+
+def diversity_score(texts: list[str], cfg: DedupConfig = DEFAULT) -> float:
+    """Average pairwise distance of a selection (mmr.go:218-239)."""
+    if len(texts) < 2:
+        return 0.0
+    sim = _similarity_matrix(texts, cfg)
+    n = len(texts)
+    tot = sum(1 - sim[i, j] for i in range(n) for j in range(i + 1, n))
+    return tot / (n * (n - 1) / 2)
+
+
+def coverage_score(originals: list[str], selection: list[str],
+                   cfg: DedupConfig = DEFAULT) -> float:
+    """Average max-similarity of originals to the selection
+    (mmr.go:241-262): how well the selection covers the input."""
+    if not originals or not selection:
+        return 0.0
+    sel_sets = [shingle_set(t or "", cfg) for t in selection]
+    tot = 0.0
+    for o in originals:
+        os_ = shingle_set(o or "", cfg)
+        tot += max((jaccard(os_, s) for s in sel_sets), default=0.0)
+    return tot / len(originals)

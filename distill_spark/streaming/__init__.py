@@ -1,0 +1,3 @@
+from .ingest import incremental_dedupe_batch, start_streaming_dedupe
+
+__all__ = ["incremental_dedupe_batch", "start_streaming_dedupe"]

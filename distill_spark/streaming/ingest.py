@@ -1,0 +1,160 @@
+"""Streaming / incremental ingest with write-time dedup.
+
+Reference: the channelized ingest pipeline (reader -> batcher ->
+worker pool, /root/reference/pkg/ingest/pipeline.go:108-186,307-335)
+and the frozen cache prefix that exempts stable data from recompute
+(pkg/cache/prefix.go:40-69). The reference has no event-time
+semantics (SURVEY.md §2.10), so the Spark mapping is Structured
+Streaming `foreachBatch` with idempotent sink commits — NOT
+watermarked windowing.
+
+Incremental contract per micro-batch:
+  1. signatures of the incoming batch (map-side Arrow pass)
+  2. LSH band join of batch signatures vs the ACCUMULATED signature
+     state (the anti-join the reference's linear probe wants to be,
+     sqlite.go:243-279)
+  3. exact Jaccard verify -> dup rows dropped (assigned to the
+     existing representative), novel rows appended to state
+  4. metrics row per batch (ingest stats analog, pipeline.go:48-72)
+
+State lives in a parquet directory (Iceberg table on a cluster);
+commits are atomic directory swaps keyed by batch id, so replayed
+micro-batches (at-least-once) are idempotent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig, DEFAULT
+from ..operators.signatures import with_signatures
+from ..operators.minhash import band_buckets
+from ..operators.verify import jaccard_col
+
+
+class DedupeState:
+    """Accumulated (id, shingles, minhash) signature state + assignment log."""
+
+    def __init__(self, spark: SparkSession, path: str, cfg: DedupConfig = DEFAULT):
+        self.spark, self.path, self.cfg = spark, path, cfg
+        os.makedirs(path, exist_ok=True)
+
+    def _p(self, name: str) -> str:
+        return os.path.join(self.path, name)
+
+    def committed_batches(self) -> set[int]:
+        p = self._p("_batches.json")
+        if not os.path.exists(p):
+            return set()
+        return set(json.load(open(p)))
+
+    def _commit_batch(self, batch_id: int) -> None:
+        done = self.committed_batches() | {batch_id}
+        tmp = self._p("_batches.json.tmp")
+        json.dump(sorted(done), open(tmp, "w"))
+        os.replace(tmp, self._p("_batches.json"))
+
+    def signatures(self) -> DataFrame:
+        p = self._p("signatures")
+        if not os.path.exists(p):
+            return self.spark.createDataFrame(
+                [], "image_id string, shingles array<bigint>, minhash array<bigint>"
+            )
+        return self.spark.read.parquet(p)
+
+    def assignments(self) -> DataFrame:
+        p = self._p("assignments")
+        if not os.path.exists(p):
+            return self.spark.createDataFrame([], "image_id string, component string")
+        return self.spark.read.parquet(p)
+
+    def _append(self, name: str, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self._p(name))
+
+
+def incremental_dedupe_batch(
+    state: DedupeState, batch: DataFrame, batch_id: int,
+    id_col: str = "image_id", caption_col: str = "caption",
+) -> dict:
+    """Process one micro-batch; returns the metrics row. Idempotent on
+    batch_id replay."""
+    if batch_id in state.committed_batches():
+        return {"batch_id": batch_id, "status": "skipped_duplicate_batch"}
+
+    t0 = time.time()
+    cfg = state.cfg
+    sigs = with_signatures(
+        batch.select(id_col, caption_col), caption_col, id_col, cfg,
+        parts=("shingles", "minhash"),
+    ).persist()
+    n_in = sigs.count()
+
+    stored = state.signatures()
+    bb_new = band_buckets(sigs.filter(F.col("minhash").isNotNull()), "minhash", id_col, cfg)
+    bb_old = band_buckets(stored.filter(F.col("minhash").isNotNull()), "minhash", id_col, cfg)
+    cand = (
+        bb_new.select(F.col(id_col).alias("new_id"), "band", "bucket")
+        .join(bb_old.select(F.col(id_col).alias("old_id"), "band", "bucket"),
+              ["band", "bucket"])
+        .select("new_id", "old_id")
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    verified = (
+        cand.join(sigs.select(F.col(id_col).alias("new_id"),
+                              F.col("shingles").alias("sh_n")), "new_id")
+        .join(stored.select(F.col(id_col).alias("old_id"),
+                            F.col("shingles").alias("sh_o")), "old_id")
+        .withColumn("jaccard", jaccard_col(F.col("sh_n"), F.col("sh_o")))
+        .filter(F.col("jaccard") >= cfg.jaccard_threshold)
+    )
+    # deterministic representative for dup rows: min existing component
+    old_assign = state.assignments()
+    dup_assign = (
+        verified.join(
+            old_assign.select(F.col(id_col).alias("old_id"), "component"), "old_id"
+        )
+        .groupBy("new_id")
+        .agg(F.min("component").alias("component"))
+        .select(F.col("new_id").alias(id_col), "component")
+    )
+    dup_ids = dup_assign.select(id_col)
+    novel_sigs = sigs.join(dup_ids, id_col, "left_anti")
+    novel_assign = novel_sigs.select(id_col, F.col(id_col).alias("component"))
+
+    n_dups = dup_assign.count()
+    state._append("signatures", novel_sigs)
+    state._append("assignments", dup_assign.unionByName(novel_assign))
+    state._commit_batch(batch_id)
+    metrics = {
+        "batch_id": batch_id, "status": "complete", "rows_in": n_in,
+        "duplicates": n_dups, "novel": n_in - n_dups,
+        "wall_sec": round(time.time() - t0, 3),
+    }
+    with open(os.path.join(state.path, f"_metrics_{batch_id}.json"), "w") as f:
+        json.dump(metrics, f)
+    sigs.unpersist()
+    return metrics
+
+
+def start_streaming_dedupe(
+    stream: DataFrame, state: DedupeState,
+    id_col: str = "image_id", caption_col: str = "caption",
+    trigger_once: bool = True, checkpoint_dir: str | None = None,
+):
+    """Attach incremental dedup to a streaming DataFrame via foreachBatch.
+    Exactly-once effect via the state's batch-id ledger (replays no-op)."""
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: incremental_dedupe_batch(state, df, bid, id_col, caption_col)
+        )
+        .option("checkpointLocation", checkpoint_dir or os.path.join(state.path, "_stream_cp"))
+    )
+    if trigger_once:
+        q = q.trigger(availableNow=True)
+    return q.start()

