@@ -477,6 +477,87 @@ def q_write_time_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EDGES_SQL = """
+    SELECT DISTINCT user_id % 100 AS src, (user_id * 7 + 3) % 100 AS dst
+    FROM events WHERE user_id % 100 <> (user_id * 7 + 3) % 100
+"""
+
+
+def _edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            (F.col("user_id") % 100).alias("src"),
+            ((F.col("user_id") * 7 + 3) % 100).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distill_spark.operators.graph import degree_stats
+
+    d = degree_stats(_edges_df(spark, sf_dir))
+    return d.select("node", F.col("in_degree").cast("long").alias("in_degree"),
+                    F.col("out_degree").cast("long").alias("out_degree"))
+
+
+def q_graph_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distill_spark.operators.graph import blast_radius
+
+    out = blast_radius(_edges_df(spark, sf_dir), start=0, max_depth=3, reverse=False)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.col("depth").cast("long").alias("depth"))
+
+
+_COMMITS_SQL = """
+    SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN 'feat(core): add ' || substr(text, 1, 20)
+             WHEN 1 THEN 'fix: repair ' || substr(text, 1, 20)
+             WHEN 2 THEN 'refactor(api)!: change ' || substr(text, 1, 20)
+             WHEN 3 THEN 'docs: describe ' || substr(text, 1, 20)
+             ELSE 'update stuff ' || substr(text, 1, 20)
+           END AS message,
+           doc_id % 25 AS n_files,
+           (doc_id * 37) % 600 AS n_lines
+    FROM documents
+"""
+
+
+def _commits_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    msg = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("feat(core): add "), F.substring("text", 1, 20)))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("fix: repair "), F.substring("text", 1, 20)))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("refactor(api)!: change "), F.substring("text", 1, 20)))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("docs: describe "), F.substring("text", 1, 20)))
+        .otherwise(F.concat(F.lit("update stuff "), F.substring("text", 1, 20)))
+    )
+    return d.select(
+        "doc_id", msg.alias("message"),
+        (F.col("doc_id") % 25).alias("n_files"),
+        ((F.col("doc_id") * 37) % 600).alias("n_lines"),
+    )
+
+
+def q_commit_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distill_spark.functions.commits import pattern_counts
+
+    return pattern_counts(_commits_df(spark, sf_dir), "message")
+
+
+def q_commit_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distill_spark.functions.commits import risk_summary
+
+    return risk_summary(_commits_df(spark, sf_dir), "message", "n_files", "n_lines")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full multi-channel dedup pipeline at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -515,6 +596,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "image_stats": q_image_stats,
         "write_time_dedup": q_write_time_dedup,
+        "graph_degrees": q_graph_degrees,
+        "graph_blast_radius": q_graph_blast_radius,
+        "commit_patterns": q_commit_patterns,
+        "commit_risk": q_commit_risk,
     }
 
 
@@ -752,6 +837,51 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus
         """,
         "prune_fillers": _prune_fillers_sql(),
+        "graph_degrees": f"""
+            WITH e AS ({_EDGES_SQL}),
+            outd AS (SELECT src AS node, count(*) AS out_degree FROM e GROUP BY src),
+            ind AS (SELECT dst AS node, count(*) AS in_degree FROM e GROUP BY dst)
+            SELECT coalesce(outd.node, ind.node) AS node,
+                   coalesce(in_degree, 0) AS in_degree,
+                   coalesce(out_degree, 0) AS out_degree
+            FROM outd FULL OUTER JOIN ind ON outd.node = ind.node
+        """,
+        "graph_blast_radius": f"""
+            WITH RECURSIVE e AS ({_EDGES_SQL}),
+            bfs(node, depth) AS (
+              SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              UNION ALL
+              SELECT e.dst, bfs.depth + 1
+              FROM bfs JOIN e ON e.src = bfs.node
+              WHERE bfs.depth < 3
+            )
+            SELECT node, min(depth) AS depth FROM bfs
+            GROUP BY node
+            HAVING min(depth) > 0
+        """,
+        "commit_patterns": f"""
+            WITH c AS ({_COMMITS_SQL})
+            SELECT CASE WHEN regexp_extract(message, '^([a-z]+)(\\(([^)]*)\\))?(!)?:', 1) = ''
+                        THEN 'other'
+                        ELSE regexp_extract(message, '^([a-z]+)(\\(([^)]*)\\))?(!)?:', 1) END
+                   AS commit_type,
+                   count(*) AS n
+            FROM c GROUP BY 1
+        """,
+        "commit_risk": f"""
+            WITH c AS ({_COMMITS_SQL}),
+            r AS (
+              SELECT CASE
+                WHEN regexp_extract(message, '^([a-z]+)(\\(([^)]*)\\))?(!)?:', 4) = '!'
+                     OR contains(message, 'BREAKING CHANGE')
+                     OR n_lines > 500 OR n_files > 20 THEN 'high'
+                WHEN regexp_extract(message, '^([a-z]+)(\\(([^)]*)\\))?(!)?:', 1) = 'fix'
+                     OR n_lines > 100 OR n_files > 5 THEN 'medium'
+                ELSE 'low' END AS risk
+              FROM c
+            )
+            SELECT risk, count(*) AS n FROM r GROUP BY risk
+        """,
         # dedup_clusters / dedup_stats / image_brightness / image_stats /
         # extractive_compress / mmr_rerank / write_time_dedup:
         # non-SQL-expressible (iterative clustering, binary decode, pandas

@@ -45,7 +45,7 @@ def ensure_images(spark, n: int) -> str:
         # small row groups: pyarrow's default (1M rows) produces ONE
         # unsplittable row group — Spark then reads the whole file in a
         # single task and every downstream stage straggles on it
-        pq.write_table(pa.Table.from_pandas(pdf), path, row_group_size=65536)
+        pq.write_table(pa.Table.from_pandas(pdf), path, row_group_size=16384)
     return path
 
 

@@ -1,0 +1,73 @@
+"""Commit analysis: conventional-commit parse, pattern counts, risk.
+
+Reference: /root/reference/pkg/commits/commits.go — conventional
+commit parse type/scope/breaking (:353-393), pattern detection
+(counts by type, per-file churn >= 3, :253-305), risk summary
+(high/med/low + top reasons, :308-349), top-K similar (:216-250,
+covered by functions.vectors.topk_neighbors).
+
+All JVM-side regexp_extract / groupBy — SQL-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# type(scope)!: subject
+_TYPE_RE = r"^([a-z]+)(?:\(([^)]*)\))?(!)?:"
+
+
+def commit_type(msg: str | Column) -> Column:
+    c = F.coalesce(F.col(msg) if isinstance(msg, str) else msg, F.lit(""))
+    t = F.regexp_extract(c, _TYPE_RE, 1)
+    return F.when(t == "", F.lit("other")).otherwise(t)
+
+
+def commit_scope(msg: str | Column) -> Column:
+    c = F.coalesce(F.col(msg) if isinstance(msg, str) else msg, F.lit(""))
+    return F.regexp_extract(c, _TYPE_RE, 2)
+
+
+def is_breaking(msg: str | Column) -> Column:
+    c = F.coalesce(F.col(msg) if isinstance(msg, str) else msg, F.lit(""))
+    return (F.regexp_extract(c, _TYPE_RE, 3) == "!") | c.contains("BREAKING CHANGE")
+
+
+def risk_level(msg: str | Column, files_changed: Column, lines_changed: Column) -> Column:
+    """high if breaking or huge; medium if fix/large; else low —
+    deterministic recast of commits.go risk heuristics."""
+    high = is_breaking(msg) | (lines_changed > 500) | (files_changed > 20)
+    med = (commit_type(msg) == "fix") | (lines_changed > 100) | (files_changed > 5)
+    return F.when(high, "high").when(med, "medium").otherwise("low")
+
+
+def pattern_counts(commits: DataFrame, msg_col: str = "message") -> DataFrame:
+    """Counts by conventional type (DetectPatterns, commits.go:253-270)."""
+    return (
+        commits.select(commit_type(msg_col).alias("commit_type"))
+        .groupBy("commit_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def churn_hotspots(commits: DataFrame, files_col: str = "files", min_touches: int = 3) -> DataFrame:
+    """Files touched >= min_touches times (commits.go:272-305)."""
+    return (
+        commits.select(F.explode(files_col).alias("file"))
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("touches"))
+        .filter(F.col("touches") >= min_touches)
+    )
+
+
+def risk_summary(commits: DataFrame, msg_col: str = "message",
+                 files_col: str = "n_files", lines_col: str = "n_lines") -> DataFrame:
+    """Counts per risk level (Summarize, commits.go:308-349)."""
+    return (
+        commits.select(
+            risk_level(msg_col, F.col(files_col), F.col(lines_col)).alias("risk")
+        )
+        .groupBy("risk")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

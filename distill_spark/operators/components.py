@@ -35,15 +35,13 @@ def connected_components(
     sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
+    # the iterative loop runs ONLY over nodes that touch an edge —
+    # singletons (usually the majority) are attached afterwards with a
+    # single left join, keeping every iteration's shuffles proportional
+    # to the duplicate population, not the corpus
     edge_nodes = sym.select(F.col("u").alias("node")).distinct()
-    if nodes is not None:
-        all_nodes = (
-            nodes.select(F.col(id_col).alias("node")).distinct().unionByName(edge_nodes).distinct()
-        )
-    else:
-        all_nodes = edge_nodes
 
-    labels = all_nodes.withColumn("label", F.col("node"))
+    labels = edge_nodes.withColumn("label", F.col("node"))
     labels = labels.localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
 
@@ -91,4 +89,10 @@ def connected_components(
         if changed == 0:
             break
 
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias(out_col))
+    result = labels.select(F.col("node").alias(id_col), F.col("label").alias(out_col))
+    if nodes is not None:
+        all_nodes = nodes.select(F.col(id_col)).distinct()
+        result = all_nodes.join(result, id_col, "left").select(
+            id_col, F.coalesce(out_col, F.col(id_col)).alias(out_col)
+        )
+    return result

@@ -1,0 +1,76 @@
+"""Dependency-graph operators: degree stats, top hubs, BFS blast radius.
+
+Reference: /root/reference/pkg/graph/graph.go — weighted directed
+graph (:22-51), BFS over reverse edges with depth cap + shortest-path
+tracking (`BlastRadius` :130-209), degree stats + top-5 hubs
+(`Stats` :239-270).
+
+Spark shape: edges as a DataFrame(src, dst[, weight]); BFS = iterative
+self-joins with a frontier DataFrame (depth-bounded, so no fixpoint
+machinery needed — contrast connected_components for the unbounded
+case). Deterministic: min-depth wins, ties keep smallest parent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node in/out degree (reference Stats, graph.go:239-262)."""
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(F.count(F.lit(1)).alias("out_degree"))
+    in_d = edges.groupBy(F.col(dst).alias("node")).agg(F.count(F.lit(1)).alias("in_degree"))
+    return (
+        out_d.join(in_d, "node", "full")
+        .select(
+            "node",
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+        )
+    )
+
+
+def top_hubs(edges: DataFrame, k: int = 5, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Top-k nodes by in-degree, deterministic tiebreak (graph.go:263-268)."""
+    from pyspark.sql import Window
+
+    d = degree_stats(edges, src, dst)
+    w = Window.orderBy(F.desc("in_degree"), F.asc("node"))
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("node", "in_degree", "rank")
+    )
+
+
+def blast_radius(
+    edges: DataFrame, start, max_depth: int = 3,
+    src: str = "src", dst: str = "dst", reverse: bool = True,
+) -> DataFrame:
+    """Nodes reachable from `start` within max_depth hops, with their
+    minimal depth. reverse=True walks dependents (who depends on start),
+    matching the reference's inEdges BFS (graph.go:130-209).
+
+    Iterative frontier joins — the depth cap bounds the loop, each
+    iteration is one equi-join + distinct (no driver-side graph)."""
+    e = edges.select(
+        F.col(dst if reverse else src).alias("from"),
+        F.col(src if reverse else dst).alias("to"),
+    )
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(start, 0)], ["node", "depth"])
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["from"])
+            .select(F.col("to").alias("node"), F.lit(depth).alias("depth"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited.filter(F.col("depth") > 0)

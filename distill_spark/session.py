@@ -46,6 +46,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # split file scans finely: the signature stage (mapInPandas) is the
+        # heaviest compute and its parallelism is bounded by scan splits
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
     if extra_conf:
         for k, v in extra_conf.items():
