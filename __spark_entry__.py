@@ -558,6 +558,27 @@ def q_commit_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return risk_summary(_commits_df(spark, sf_dir), "message", "n_files", "n_lines")
 
 
+def q_structured_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON structural compression over events.props (rows-only)."""
+    from distill_spark.functions.structured import with_structured_compression
+
+    e = _t(spark, sf_dir, "events").select("event_id", F.col("props").alias("text"))
+    return with_structured_compression(e, "text", "compact").select(
+        "event_id", "compact"
+    )
+
+
+def q_hierarchical_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decay-level-driven summaries over documents (rows-only)."""
+    from distill_spark.functions.compress import hierarchical_summarize
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 4).cast("int").alias("level")
+    )
+    out = hierarchical_summarize(d, "text", "level", "summary")
+    return out.select("doc_id", "level", F.length("summary").cast("long").alias("n_chars_summary"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full multi-channel dedup pipeline at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -600,6 +621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_blast_radius": q_graph_blast_radius,
         "commit_patterns": q_commit_patterns,
         "commit_risk": q_commit_risk,
+        "structured_compress": q_structured_compress,
+        "hierarchical_summaries": q_hierarchical_summaries,
     }
 
 

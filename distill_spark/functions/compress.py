@@ -98,6 +98,56 @@ def extractive_compress_batch(
         yield res
 
 
+def summarize_at_level(text: str, level: int, max_keywords: int = 12) -> str:
+    """Hierarchical summary ladder (reference pkg/summarize/hierarchy.go):
+    0 = full fidelity; 1 = first paragraph + fenced code blocks kept
+    (:205-233); 2 = first two sentences (:235-248); 3 = keyword line
+    (:250-268); 4 = empty (evicted)."""
+    import re
+
+    t = text or ""
+    if level <= 0:
+        return t
+    if level == 1:
+        para = t.split("\n\n", 1)[0]
+        code = re.findall(r"```.*?```", t, flags=re.S)
+        return "\n\n".join([para] + [c for c in code if c not in para])
+    if level == 2:
+        sents = [s for s in re.split(r"(?<=[.!?])\s+", t) if s.strip()]
+        return " ".join(sents[:2]) if sents else t[:160]
+    if level == 3:
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if len(w) >= 4]
+        seen: list[str] = []
+        for w in toks:
+            if w not in seen:
+                seen.append(w)
+            if len(seen) >= max_keywords:
+                break
+        return " ".join(seen)
+    return ""
+
+
+def hierarchical_summarize(
+    df: DataFrame, text_col: str = "text", level_col: str = "level",
+    out_col: str = "summary",
+) -> DataFrame:
+    """Apply the level ladder per row (level typically from
+    scoring.decay_level age buckets, hierarchy.go:175-183)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, T.StringType())])
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            res = pdf.copy()
+            res[out_col] = [
+                summarize_at_level(t, int(l)) for t, l in zip(pdf[text_col], pdf[level_col])
+            ]
+            yield res
+
+    return df.mapInPandas(batch, schema=schema)
+
+
 def extractive_compress(
     df: DataFrame, text_col: str = "text", out_col: str = "compressed",
     target_ratio: float = 0.5, min_len: int = 100,

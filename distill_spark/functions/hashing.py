@@ -31,10 +31,15 @@ def det_id(*cols: str | Column, prefix: str = "") -> Column:
 
 def doc_fingerprint(tokens_col: Column, ngram: int = 3) -> Column:
     """Order-independent 64-bit document fingerprint: fold sorted distinct
-    n-gram hashes with h = h*31 + x (wrapping int64 arithmetic)."""
+    n-gram hashes with h = h*31 + x (wrapping int64 arithmetic). Texts
+    shorter than the n-gram collapse to a whole-text hash (sequence()
+    would otherwise run DESCENDING for negative spans)."""
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(tokens_col) - ngram, F.lit(-1))),
+        F.sequence(F.lit(0), F.size(tokens_col) - ngram),
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens_col, i + 1, ngram))),
+    )
+    grams = F.when(F.size(tokens_col) >= ngram, grams).otherwise(
+        F.array(F.xxhash64(F.concat_ws(" ", tokens_col)))
     )
     sorted_grams = F.array_sort(F.array_distinct(grams))
     return F.aggregate(

@@ -1,0 +1,95 @@
+"""Structural compression of JSON / XML / tabular text.
+
+Reference: /root/reference/pkg/compress/placeholder.go —
+  JSON: preserve keys, truncate arrays at 3 items, depth cap 2,
+        "{...N keys}" placeholders (:93-188)
+  XML:  detect + element histogram summary (:191-236)
+  table: delimiter-consistency detect + row/col summary (:239-271)
+
+Deterministic per-row text transforms -> Arrow-batched mapInPandas
+(JSON needs recursive structure; no fixed schema for from_json).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def compress_json_value(v, depth: int = 0, max_depth: int = 2, max_items: int = 3):
+    if isinstance(v, dict):
+        if depth >= max_depth:
+            return f"{{...{len(v)} keys}}"
+        return {k: compress_json_value(x, depth + 1, max_depth, max_items)
+                for k, x in list(v.items())}
+    if isinstance(v, list):
+        if depth >= max_depth:
+            return f"[...{len(v)} items]"
+        out = [compress_json_value(x, depth + 1, max_depth, max_items) for x in v[:max_items]]
+        if len(v) > max_items:
+            out.append(f"...{len(v) - max_items} more")
+        return out
+    if isinstance(v, str) and len(v) > 80:
+        return v[:77] + "..."
+    return v
+
+
+def detect_structure(text: str) -> str:
+    """'json' | 'xml' | 'table' | 'text' (placeholder.go detection order)."""
+    t = (text or "").strip()
+    if t.startswith(("{", "[")):
+        try:
+            json.loads(t)
+            return "json"
+        except (json.JSONDecodeError, ValueError):
+            pass
+    if t.startswith("<") and re.search(r"</\w+>|/>", t):
+        return "xml"
+    lines = [l for l in t.splitlines() if l.strip()]
+    if len(lines) >= 2:
+        for delim in ("|", "\t", ","):
+            counts = [l.count(delim) for l in lines]
+            if counts[0] >= 1 and len(set(counts)) == 1:
+                return "table"
+    return "text"
+
+
+def summarize_structured(text: str) -> str:
+    """Compress by structure kind; plain text passes through."""
+    kind = detect_structure(text)
+    t = (text or "").strip()
+    if kind == "json":
+        return json.dumps(compress_json_value(json.loads(t)), separators=(",", ":"))
+    if kind == "xml":
+        tags = re.findall(r"<(\w+)[\s>/]", t)
+        hist: dict[str, int] = {}
+        for tag in tags:
+            hist[tag] = hist.get(tag, 0) + 1
+        inner = ", ".join(f"{k}x{v}" for k, v in sorted(hist.items()))
+        return f"<xml {len(t)} chars: {inner}>"
+    if kind == "table":
+        lines = [l for l in t.splitlines() if l.strip()]
+        delim = next(d for d in ("|", "\t", ",") if lines[0].count(d) >= 1)
+        ncols = lines[0].count(delim) + 1
+        return f"<table {len(lines)} rows x {ncols} cols: {lines[0][:80]}>"
+    return text
+
+
+def with_structured_compression(
+    df: DataFrame, text_col: str = "text", out_col: str = "compact"
+) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, T.StringType())])
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            res = pdf.copy()
+            res[out_col] = [summarize_structured(t) for t in pdf[text_col]]
+            yield res
+
+    return df.mapInPandas(batch, schema=schema)

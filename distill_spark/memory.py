@@ -198,10 +198,21 @@ class MemoryStore:
         qdf = self.spark.createDataFrame([("q", query)], "id string, text string")
         qsh = with_signatures(qdf, "text", "id", cfg, parts=("shingles",)) \
             .select(F.col("shingles").alias("qsh"))
+        # similarity = max(symmetric Jaccard, query containment |q∩d|/|q|):
+        # a 5-token query against a 200-token doc has tiny Jaccard even on
+        # a perfect hit; containment matches the reference's recall intent
+        # (query terms found in the memory)
+        containment = F.when(
+            F.size("qsh") > 0,
+            F.size(F.array_intersect(F.col("shingles"), F.col("qsh"))) / F.size("qsh"),
+        ).otherwise(F.lit(0.0))
         scored = (
             mem.join(sigs, "id")
             .crossJoin(F.broadcast(qsh))
-            .withColumn("sim", jaccard_col(F.col("shingles"), F.col("qsh")))
+            .withColumn(
+                "sim",
+                F.greatest(jaccard_col(F.col("shingles"), F.col("qsh")), containment),
+            )
             .withColumn("recency", recency_score("last_referenced", now))
             .withColumn(
                 "relevance",

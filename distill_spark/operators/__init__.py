@@ -1,4 +1,8 @@
 from .shingle import with_tokens, with_shingles
+from .signatures import with_signatures
+from .winnow import with_fingerprints
+from .rerank import mmr_rerank, diversity_score, coverage_score
+from .graph import degree_stats, top_hubs, blast_radius
 from .minhash import with_minhash, band_buckets
 from .lsh import pairs_from_buckets
 from .simhash import with_simhash
@@ -11,6 +15,14 @@ from .pipeline import dedupe, DedupResult
 __all__ = [
     "with_tokens",
     "with_shingles",
+    "with_signatures",
+    "with_fingerprints",
+    "mmr_rerank",
+    "diversity_score",
+    "coverage_score",
+    "degree_stats",
+    "top_hubs",
+    "blast_radius",
     "with_minhash",
     "band_buckets",
     "pairs_from_buckets",

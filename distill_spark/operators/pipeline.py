@@ -55,6 +55,14 @@ class DedupResult:
     conflicts: DataFrame | None # band pairs (a, b, jaccard)
     stats: DataFrame            # 1-row counts/reduction
 
+    def unpersist(self) -> None:
+        """Release the caches dedupe() created (edges + signature stage);
+        long sessions running many dedupe() calls should call this."""
+        try:
+            self.edges.unpersist()
+        except Exception:
+            pass
+
 
 def candidate_edges(
     meta: DataFrame,

@@ -1,0 +1,60 @@
+"""Source-format ingest + misc scalar coverage.
+
+Reference analogs: JSONL vector scan {"id","values","metadata"} with
+malformed-line skip (/root/reference/pkg/ingest/pipeline.go:256-297,
+testdata/sample.jsonl), deterministic ids (pkg/memory/helpers.go:12-23
+— ours are content-hashed instead of random for reproducibility).
+"""
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from distill_spark.functions.hashing import content_hash, det_id, doc_fingerprint
+from distill_spark.functions.text import tokens
+
+VEC_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("values", T.ArrayType(T.FloatType())),
+    T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
+])
+
+
+def test_jsonl_vector_scan_drops_malformed(spark, tmp_path):
+    p = tmp_path / "vecs.jsonl"
+    rows = [
+        {"id": "vec1", "values": [0.1, 0.2], "metadata": {"k": "a"}},
+        {"id": "vec2", "values": [0.1, 0.2], "metadata": {"k": "b"}},  # exact dup values
+        {"id": "vec3", "values": [0.1001, 0.2], "metadata": {}},      # near dup
+    ]
+    lines = [json.dumps(r) for r in rows] + ["{not valid json", ""]
+    p.write_text("\n".join(lines))
+
+    df = spark.read.schema(VEC_SCHEMA).option("mode", "DROPMALFORMED").json(str(p))
+    got = df.filter(F.col("id").isNotNull()).collect()
+    assert {r["id"] for r in got} == {"vec1", "vec2", "vec3"}
+
+    # exact-dup vectors detectable by grouping full array (vec1 == vec2)
+    dups = (
+        df.filter(F.col("id").isNotNull())
+        .groupBy("values").agg(F.count(F.lit(1)).alias("n"), F.min("id").alias("rep"))
+        .filter(F.col("n") > 1)
+        .collect()
+    )
+    assert len(dups) == 1 and dups[0]["rep"] == "vec1"
+
+
+def test_deterministic_ids_and_fingerprints(spark):
+    df = spark.createDataFrame(
+        [("same text here",), ("same text here",), ("other text",)], ["text"]
+    )
+    out = df.select(
+        det_id("text", prefix="mem_").alias("did"),
+        content_hash("text").alias("h"),
+        doc_fingerprint(tokens("text")).alias("fp"),
+    ).collect()
+    assert out[0]["did"] == out[1]["did"] != out[2]["did"]
+    assert out[0]["did"].startswith("mem_") and len(out[0]["did"]) == 20
+    assert out[0]["h"] == out[1]["h"]
+    assert out[0]["fp"] == out[1]["fp"] != out[2]["fp"]

@@ -1,0 +1,67 @@
+"""Structural compression + hierarchical summaries.
+
+Reference analogs: placeholder compression modes
+(/root/reference/pkg/compress/placeholder.go:93-271) and the summary
+ladder invariants (pkg/summarize/summarize_test.go:23-135 — recent
+preserved, budget enforced via levels).
+"""
+
+import json
+
+from distill_spark.functions.structured import (
+    compress_json_value, detect_structure, summarize_structured,
+    with_structured_compression,
+)
+from distill_spark.functions.compress import summarize_at_level, hierarchical_summarize
+
+
+def test_detect_structure():
+    assert detect_structure('{"a": 1}') == "json"
+    assert detect_structure("<root><a/></root>") == "xml"
+    assert detect_structure("a|b|c\n1|2|3") == "table"
+    assert detect_structure("plain words here") == "text"
+    assert detect_structure("{not json") == "text"
+
+
+def test_json_compression_truncates():
+    v = {"keys": list(range(10)), "nested": {"deep": {"deeper": {"x": 1}}}}
+    out = compress_json_value(v)
+    assert out["keys"][:3] == [0, 1, 2] and out["keys"][-1] == "...7 more"
+    assert out["nested"]["deep"] == "{...1 keys}"
+
+
+def test_summarize_structured_kinds():
+    j = summarize_structured(json.dumps({"a": list(range(9))}))
+    assert "...6 more" in j
+    x = summarize_structured("<doc><p>hi</p><p>there</p></doc>")
+    assert x.startswith("<xml") and "px2" in x
+    t = summarize_structured("h1|h2\nv1|v2\nv3|v4")
+    assert t.startswith("<table 3 rows x 2 cols")
+
+
+def test_summary_ladder_monotone():
+    text = (
+        "First paragraph has content. It continues here with more words.\n\n"
+        "Second paragraph follows. Even more text in it. And a third sentence."
+    )
+    lengths = [len(summarize_at_level(text, l)) for l in range(5)]
+    assert lengths[0] >= lengths[1] >= lengths[2] >= lengths[4]
+    assert summarize_at_level(text, 4) == ""
+    kw = summarize_at_level(text, 3)
+    assert "first" in kw and len(kw.split()) <= 12
+
+
+def test_hierarchical_summarize_df(spark):
+    df = spark.createDataFrame(
+        [("a", "One two. Three four. Five six seven.", 2),
+         ("b", "Full text stays.", 0)],
+        "id string, text string, level int",
+    )
+    rows = {r["id"]: r["summary"] for r in hierarchical_summarize(df).collect()}
+    assert rows["a"] == "One two. Three four."
+    assert rows["b"] == "Full text stays."
+
+    s = with_structured_compression(
+        spark.createDataFrame([('{"k": [1,2,3,4,5]}',)], "text string"), "text", "c"
+    ).collect()[0]["c"]
+    assert "...2 more" in s
