@@ -79,12 +79,17 @@ def connected_components(
         )
         jumped = jumped.localCheckpoint(eager=True)
 
-        changed = (
-            jumped.join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .limit(1)
-            .count()
-        )
+        # the first iteration always changes labels (every non-singleton
+        # node adopts a smaller neighbor) — skip its convergence probe
+        if _ > 0:
+            changed = (
+                jumped.join(labels, "node")
+                .filter(F.col("new_label") != F.col("label"))
+                .limit(1)
+                .count()
+            )
+        else:
+            changed = 1
         labels = jumped.withColumnRenamed("new_label", "label")
         if changed == 0:
             break
