@@ -78,6 +78,68 @@ _TOKENS_SQL = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), x -> x 
 
 _PHASH_SQL = "(doc_id * 2654435761) % 4294967296"
 
+# DuckDB replica of the dedup pipeline's EDGE SEMANTICS over the planted
+# corpus (channels minhash+simhash+substring, i.e. the q_dedup_clusters
+# config): verified edges == {exact token-3-gram-shingle Jaccard >= 0.70}
+# UNION {share an exact 24-char window of lower(text)}. The engine's LSH /
+# pigeonhole / winnowing stages are candidate generators with recall ~1 at
+# these thresholds (winnowing+Hamming exactly 1 by construction; MinHash
+# bands P>=0.9998 at j=0.70, and every >=0.70 pair in this corpus also
+# shares a >=24-char run, so the SQL edge set is the engine edge set).
+# Components = min reachable id via a recursive CTE (single linkage ==
+# connected components, the engine's clustering semantics).
+_DEDUP_EDGES_SQL = f"""
+    corpus AS (
+      SELECT printf('doc%07d', id) AS id, lower(text) AS t FROM ({_CORPUS_SQL})
+    ),
+    tok AS (
+      SELECT id, t,
+             list_filter(string_split_regex(t, '[^a-z0-9]+'), x -> x <> '') AS ts
+      FROM corpus
+    ),
+    sh AS (
+      SELECT id,
+        CASE WHEN len(ts) >= 3 THEN
+               list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                              for i in generate_series(1, len(ts)-2)])
+             WHEN len(ts) >= 1 THEN [array_to_string(ts, ' ') || '#short']
+             ELSE [] END AS shingles
+      FROM tok
+    ),
+    ex AS (SELECT id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+    sizes AS (SELECT id, len(shingles) AS sz FROM sh),
+    inter AS (
+      SELECT e1.id AS a, e2.id AS b, count(*) AS i
+      FROM ex e1 JOIN ex e2 ON e1.s = e2.s AND e1.id < e2.id
+      GROUP BY 1, 2
+    ),
+    jedges AS (
+      SELECT a, b FROM inter
+      JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+      WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.70
+    ),
+    win AS (
+      SELECT id, unnest(list_distinct(
+               [substr(t, i, 24) for i in generate_series(1, length(t) - 23)]
+             )) AS w
+      FROM corpus WHERE length(t) >= 24
+    ),
+    ledges AS (
+      SELECT DISTINCT w1.id AS a, w2.id AS b
+      FROM win w1 JOIN win w2 ON w1.w = w2.w AND w1.id < w2.id
+    ),
+    edges AS (SELECT a, b FROM jedges UNION SELECT a, b FROM ledges),
+    sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+    reach(src, node) AS (
+      SELECT id, id FROM corpus
+      UNION
+      SELECT reach.src, s.b FROM reach JOIN sym s ON s.a = reach.node
+    ),
+    comp AS (
+      SELECT node AS image_id, min(src) AS component FROM reach GROUP BY node
+    )
+"""
+
 
 def _phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id")
@@ -110,7 +172,19 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs: word-3-gram Jaccard >= 0.5 (the verify
-    stage of the pipeline, SQL-checkable with string shingles)."""
+    stage of the pipeline, SQL-checkable with string shingles).
+
+    Plan notes (round-2 rewrite; was the slowest bench query at 58 s for
+    a 500-doc corpus): shingles are xxhash64'd BEFORE the exchange (8 B
+    keys instead of ~25 B strings, same Jaccard modulo ~N^2/2^64
+    collision risk shared with the engine), and the self-join is
+    replaced by ONE groupBy(shingle) + JVM-side sorted-array pair
+    expansion + count — the pairs_from_buckets shape. Exact pairwise
+    Jaccard is inherently quadratic in shingle popularity; the ENGINE
+    path bounds that with LSH banding (this query is the oracle-checked
+    verification of the verify stage, not the scale path)."""
+    from distill_spark.operators.lsh import _allpairs_expr
+
     c = _corpus(spark, sf_dir).withColumn("ts", _TOKENS_SPARK("text"))
     sh = (
         c.filter(F.size("ts") >= 3)
@@ -130,12 +204,16 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id", "shingles")
     )
-    ex = sh.select("id", F.explode("shingles").alias("s"))
+    ex = sh.select("id", F.explode("shingles").alias("s")).select(
+        "id", F.xxhash64("s").alias("h")
+    )
     sizes = sh.select("id", F.size("shingles").alias("sz"))
     inter = (
-        ex.alias("e1")
-        .join(ex.alias("e2"), (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.id") < F.col("e2.id")))
-        .groupBy(F.col("e1.id").alias("a"), F.col("e2.id").alias("b"))
+        ex.groupBy("h")
+        .agg(F.sort_array(F.collect_list("id")).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+        .select(F.explode(_allpairs_expr(None)).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("i"))
     )
     return (
@@ -394,13 +472,11 @@ def q_image_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def brightness(batches):
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                px = np.frombuffer(r["bytes"], dtype=np.uint8)
-                out.append(
-                    {"image_id": r["image_id"], "brightness": round(float(px.mean()), 4)}
-                )
-            yield pd.DataFrame(out)
+            vals = [
+                round(float(np.frombuffer(buf, dtype=np.uint8).mean()), 4)
+                for buf in pdf["bytes"]
+            ]
+            yield pd.DataFrame({"image_id": pdf["image_id"], "brightness": vals})
 
     return images.select("image_id", "bytes").mapInPandas(
         brightness, schema="image_id string, brightness double"
@@ -764,8 +840,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ), c AS (
               SELECT doc_id,
-                     sum(est) OVER (ORDER BY n_chars DESC, doc_id ASC
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+                     (sum(est) OVER (ORDER BY n_chars DESC, doc_id ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
               FROM d
             )
             SELECT doc_id, cum_tokens FROM c WHERE cum_tokens <= 5000
@@ -860,6 +936,19 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus
         """,
         "prune_fillers": _prune_fillers_sql(),
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_DEDUP_EDGES_SQL}
+            SELECT image_id, component FROM comp
+        """,
+        "dedup_stats": f"""
+            WITH RECURSIVE {_DEDUP_EDGES_SQL}
+            SELECT count(*)::BIGINT AS n_input,
+                   count(DISTINCT component)::BIGINT AS n_clusters,
+                   (count(*) - count(DISTINCT component))::BIGINT AS n_duplicates,
+                   (1.0 - count(DISTINCT component) * 1.0 / count(*)) * 100.0
+                     AS reduction_percent
+            FROM comp
+        """,
         "graph_degrees": f"""
             WITH e AS ({_EDGES_SQL}),
             outd AS (SELECT src AS node, count(*) AS out_degree FROM e GROUP BY src),
@@ -905,10 +994,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT risk, count(*) AS n FROM r GROUP BY risk
         """,
-        # dedup_clusters / dedup_stats / image_brightness / image_stats /
-        # extractive_compress / mmr_rerank / write_time_dedup:
-        # non-SQL-expressible (iterative clustering, binary decode, pandas
-        # stages, greedy selection, stateful store) -> rows-only checks.
+        # image_brightness / image_stats / extractive_compress / mmr_rerank /
+        # structured_compress: non-SQL-expressible (PCG64 pixel payloads,
+        # skip-and-continue greedy knapsack, structural JSON walker)
+        # -> rows-only checks.
     }
 
 

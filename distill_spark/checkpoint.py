@@ -46,6 +46,35 @@ def _fingerprint(*parts: str) -> str:
     return hashlib.sha256("\x00".join(parts).encode()).hexdigest()[:16]
 
 
+def input_signature(df: DataFrame) -> str:
+    """Identity of a DataFrame's INPUT DATA, so a resumed pipeline run
+    against different input invalidates the whole stage chain (resume
+    contract: 'skipped iff input_fingerprint matches the current one').
+
+    Folds the logical-plan semantic hash (covers source paths, filters,
+    projections, and literal data of in-memory relations) with the
+    source files' size+mtime (covers re-written files at the same path).
+    No jobs are launched."""
+    parts: list[str] = []
+    try:
+        parts.append(str(df.semanticHash()))
+    except Exception:
+        pass
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        files = []
+    parts.append(f"nfiles={len(files)}")
+    for f in files[:1000]:
+        p = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            st = os.stat(p)
+            parts.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+        except OSError:
+            parts.append(f)
+    return _fingerprint(*parts) if parts else "unknown-input"
+
+
 @dataclass
 class CheckpointStore:
     base_path: str
@@ -166,6 +195,7 @@ def dedupe_checkpointed(
     caption_col: str = "caption",
     phash_col: str | None = "phash",
     channels: tuple[str, ...] = ("minhash", "simhash", "phash", "substring"),
+    data_sig: str | None = None,
 ):
     """Staged, resumable dedupe: each stage checkpoints through `store`.
 
@@ -174,13 +204,18 @@ def dedupe_checkpointed(
       input -> phash_edges
       input -> lcs_edges
       {jaccard,phash,lcs}_edges -> edges -> assignments -> representatives
+
+    Root fingerprints fold in the INPUT DATA identity (data_sig, default
+    derived by input_signature()), so re-running against a different
+    `images` table invalidates the chain instead of silently returning
+    stale stage output.
     """
     from .config import DedupConfig
     from .operators.signatures import with_signatures
     from .operators.minhash import band_buckets
-    from .operators.lsh import pairs_from_buckets
+    from .operators.lsh import pairs_from_buckets, pairs_and_overflow
     from .operators.hamming import hamming_candidate_pairs, verify_hamming
-    from .operators.winnow import with_fingerprints
+    from .operators.winnow import with_fingerprints, refine_oversized
     from .operators.verify import verify_jaccard, verify_lcs
     from .operators.components import connected_components
     from .operators.select import representatives as select_reps
@@ -190,7 +225,7 @@ def dedupe_checkpointed(
     csig = json.dumps(
         {k: v for k, v in cfg.__dict__.items() if not k.startswith("_")},
         sort_keys=True, default=str,
-    ) + f"|channels={sorted(channels)}"
+    ) + f"|channels={sorted(channels)}|data={data_sig or input_signature(images)}"
 
     cols = [id_col, caption_col] + ([phash_col] if phash_col else [])
     meta = images.select(*cols)
@@ -254,8 +289,17 @@ def dedupe_checkpointed(
             fp = with_fingerprints(meta.select(id_col, caption_col), caption_col,
                                    "fp", cfg, impl=cfg.winnow_impl)
             fpx = fp.select(id_col, F.explode("fp").alias("fingerprint"))
-            cand = pairs_from_buckets(fpx, ["fingerprint"], id_col, cfg,
-                                      cap=cfg.max_fp_bucket_size)
+            small_cand, overflow = pairs_and_overflow(
+                fpx, ["fingerprint"], id_col, cfg, cap=cfg.max_fp_bucket_size
+            )
+            refined = refine_oversized(
+                overflow, meta.select(id_col, caption_col), cfg, id_col, caption_col
+            )
+            sub_cand = pairs_from_buckets(
+                refined, ["fingerprint", "subfp"], id_col, cfg,
+                cap=cfg.max_fp_bucket_size, oversize="star",
+            )
+            cand = small_cand.unionByName(sub_cand).dropDuplicates(["a", "b"])
             return verify_lcs(cand, meta.select(id_col, caption_col), cfg,
                               caption_col, id_col, impl=cfg.lcs_impl)
 

@@ -70,22 +70,26 @@ def with_image_stats(images: DataFrame, id_col: str = "image_id") -> DataFrame:
     from ..datagen import average_hash
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # column-wise zip (not iterrows — per-row Series construction is
+        # ~5x slower than tuple iteration over the Arrow-backed columns)
         for pdf in it:
-            out = []
-            for _, r in pdf.iterrows():
+            ids, brs, cts, phs = [], [], [], []
+            for rid, data, w, h, fmt in zip(
+                pdf[id_col], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                ids.append(rid)
                 try:
-                    px = decode_pixels(r["bytes"], r["w"], r["h"], r["fmt"])
+                    px = decode_pixels(data, w, h, fmt)
                 except (NotImplementedError, ValueError):
-                    out.append({id_col: r[id_col], "brightness": None,
-                                "contrast": None, "phash_check": None})
+                    brs.append(None); cts.append(None); phs.append(None)
                     continue
-                out.append({
-                    id_col: r[id_col],
-                    "brightness": round(float(px.mean()), 4),
-                    "contrast": round(float(px.std()), 4),
-                    "phash_check": average_hash(px),
-                })
-            yield pd.DataFrame(out)
+                brs.append(round(float(px.mean()), 4))
+                cts.append(round(float(px.std()), 4))
+                phs.append(average_hash(px))
+            yield pd.DataFrame(
+                {id_col: ids, "brightness": brs, "contrast": cts,
+                 "phash_check": pd.array(phs, dtype="Int64")}
+            )
 
     return images.select(id_col, "bytes", "w", "h", "fmt").mapInPandas(
         batch,
@@ -119,17 +123,22 @@ def pairwise_psnr(
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = []
-            for _, r in pdf.iterrows():
+            vals = []
+            for ba, wa, ha, fa, bb, wb, hb, fb in zip(
+                pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"],
+                pdf["bytes_b"], pdf["w_b"], pdf["h_b"], pdf["fmt_b"],
+            ):
                 try:
-                    x = decode_pixels(r["bytes"], r["w"], r["h"], r["fmt"])
-                    y = decode_pixels(r["bytes_b"], r["w_b"], r["h_b"], r["fmt_b"])
+                    x = decode_pixels(ba, wa, ha, fa)
+                    y = decode_pixels(bb, wb, hb, fb)
                     val = psnr(x, y) if x.shape == y.shape else 0.0
                     if val == float("inf"):
                         val = 99.0
                 except (NotImplementedError, ValueError):
                     val = None
-                out.append({"a": r["a"], "b": r["b"], "psnr_db": val})
-            yield pd.DataFrame(out)
+                vals.append(val)
+            yield pd.DataFrame(
+                {"a": pdf["a"], "b": pdf["b"], "psnr_db": vals}
+            )
 
     return attached.mapInPandas(batch, schema="a string, b string, psnr_db double")

@@ -112,9 +112,20 @@ def with_hyperplane_bucket(
     """Random-hyperplane LSH (SimHash for vectors): bucket id = sign
     pattern of n_planes dot products. Vectors with high cosine similarity
     collide with high probability; the scale path for ANN / embedding
-    near-dup (brute force stays the small-scale oracle)."""
+    near-dup (brute force stays the small-scale oracle).
+
+    `dim` is derived from the DataFrame's schema metadata when possible;
+    deriving it from data would silently trigger a driver-side job
+    mid-plan, so if the schema doesn't carry it the caller must pass it."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        field = df.schema[vec_col]
+        dim = (field.metadata or {}).get("dim")
+        if dim is None:
+            raise ValueError(
+                f"cannot infer vector dim for {vec_col!r} from schema; "
+                "pass dim= explicitly (schema-only inference avoids "
+                "launching a hidden driver-side job)"
+            )
     planes = random_hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0).cast("long")
     for j, p in enumerate(planes):
@@ -131,12 +142,13 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     approx: bool = False,
     n_planes: int = 12,
+    dim: int | None = None,
 ) -> DataFrame:
     """(a, b, sim) pairs with cosine >= threshold. approx=True buckets by
     random hyperplanes first (misses cross-bucket pairs — scale path);
     approx=False is the exact quadratic baseline."""
     if approx:
-        b = with_hyperplane_bucket(df, vec_col, n_planes)
+        b = with_hyperplane_bucket(df, vec_col, n_planes, dim=dim)
         left = b.select(
             F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "hp_bucket"
         )

@@ -10,13 +10,17 @@ rounds). Deterministic: component id = min member id (total order on
 string ids).
 
 Per-iteration localCheckpoint() cuts lineage (SURVEY.md §7.3 risk (b):
-CC lineage blowup) and materializes the frontier so the convergence
-check (an aggregate) doesn't recompute the whole history.
+CC lineage blowup) and materializes the frontier. The convergence probe
+is folded into the SAME job via df.observe() (a CollectMetrics node
+evaluated during the checkpoint action), so each iteration costs ONE
+job instead of checkpoint + count — the iteration count is the serial
+floor of the whole pipeline, and halving the per-iteration job count
+directly buys scaling efficiency at high parallelism.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..config import DedupConfig, DEFAULT
@@ -57,6 +61,7 @@ def connected_components(
             labels.join(nbr, "node", "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
@@ -72,25 +77,22 @@ def connected_components(
             )
             .select(
                 "node",
+                "old_label",
                 F.least(F.col("label"), F.coalesce("plabel", F.col("label"))).alias(
-                    "new_label"
+                    "label"
                 ),
             )
         )
-        jumped = jumped.localCheckpoint(eager=True)
-
-        # the first iteration always changes labels (every non-singleton
-        # node adopts a smaller neighbor) — skip its convergence probe
-        if _ > 0:
-            changed = (
-                jumped.join(labels, "node")
-                .filter(F.col("new_label") != F.col("label"))
-                .limit(1)
-                .count()
-            )
-        else:
-            changed = 1
-        labels = jumped.withColumnRenamed("new_label", "label")
+        # convergence metric rides the checkpoint job (no separate count)
+        obs = Observation()
+        jumped = jumped.observe(
+            obs,
+            F.sum((F.col("label") != F.col("old_label")).cast("long")).alias(
+                "changed"
+            ),
+        )
+        labels = jumped.select("node", "label").localCheckpoint(eager=True)
+        changed = obs.get.get("changed") or 0
         if changed == 0:
             break
 

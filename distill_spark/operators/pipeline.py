@@ -16,8 +16,13 @@ select representative (selector.go:68-238) -> stats. Our plan:
   -> representatives (deterministic window)
 
 Recall budget: phash + substring channels are recall-1.0 by
-construction (pigeonhole / winnowing guarantees); the caption channel's
-LSH S-curve at (b=32, r=4) gives P(candidate) >= 0.9998 at
+construction AT ANY BUCKET-SIZE DISTRIBUTION — oversized pigeonhole
+blocks recurse on remaining bits (hamming.py) and oversized winnowing
+buckets refine to full-window sub-buckets where star topology is
+provably safe (winnow.refine_oversized); star fallback is reserved for
+the probabilistic MinHash band channel, where the other b-1 bands
+rescue pairs an oversized band misses. The caption channel's LSH
+S-curve at (b=32, r=4) gives P(candidate) >= 0.9998 at
 jaccard == threshold 0.70 — overall dup-pair recall >= 0.99 (north
 rule) with margin. The SimHash channel only ADDS candidates (still
 verified exactly), so it can only raise recall.
@@ -38,10 +43,10 @@ from ..config import DedupConfig, DEFAULT
 from .shingle import with_tokens, with_shingles
 from .minhash import with_minhash, band_buckets
 from .signatures import with_signatures
-from .lsh import pairs_from_buckets
+from .lsh import pairs_from_buckets, pairs_and_overflow
 from .simhash import with_simhash
 from .hamming import hamming_candidate_pairs, verify_hamming, block_buckets
-from .winnow import with_fingerprints
+from .winnow import with_fingerprints, refine_oversized
 from .verify import verify_jaccard, verify_lcs, conflict_band
 from .components import connected_components
 from .select import representatives, cluster_stats
@@ -171,9 +176,21 @@ def candidate_edges(
         fp = with_fingerprints(meta.select(id_col, caption_col), caption_col, "fp", cfg,
                                impl=cfg.winnow_impl)
         fpx = fp.select(id_col, F.explode("fp").alias("fingerprint"))
-        cand = pairs_from_buckets(
+        # recall-preserving skew handling: small buckets all-pairs;
+        # oversized buckets (popular boilerplate fingerprints) refine to
+        # full-L-char-window sub-buckets where star topology is provably
+        # safe (winnow.refine_oversized docstring) — no silent pair loss
+        small_cand, overflow = pairs_and_overflow(
             fpx, ["fingerprint"], id_col, cfg, cap=cfg.max_fp_bucket_size
         )
+        refined = refine_oversized(
+            overflow, meta.select(id_col, caption_col), cfg, id_col, caption_col
+        )
+        sub_cand = pairs_from_buckets(
+            refined, ["fingerprint", "subfp"], id_col, cfg,
+            cap=cfg.max_fp_bucket_size, oversize="star",
+        )
+        cand = small_cand.unionByName(sub_cand).dropDuplicates(["a", "b"])
         edge_parts.append(
             verify_lcs(cand, meta.select(id_col, caption_col), cfg, caption_col,
                        id_col, impl=cfg.lcs_impl)

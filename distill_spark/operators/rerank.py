@@ -43,8 +43,25 @@ def mmr_rerank(
     cfg: DedupConfig = DEFAULT,
 ) -> DataFrame:
     """Greedy MMR over a SMALL candidate DataFrame -> top-k rows with
-    mmr_rank column. Deterministic: ties break on id."""
-    pdf = candidates.select(id_col, text_col, score_col).toPandas()
+    mmr_rank column. Deterministic: ties break on id.
+
+    Guard: the candidate set is collected to the driver (the algorithm
+    is sequential-greedy over the selected set and the reference only
+    ever feeds it an over-fetch of ~50 rows, mmr.go:50) — a caller
+    passing a large DataFrame should fail loudly, not OOM the driver,
+    so we fetch max_candidates+1 rows and raise if the limit is hit."""
+    max_candidates = int(cfg.extra.get("mmr_max_candidates", 10_000))
+    pdf = (
+        candidates.select(id_col, text_col, score_col)
+        .limit(max_candidates + 1)
+        .toPandas()
+    )
+    if len(pdf) > max_candidates:
+        raise ValueError(
+            f"mmr_rerank collected more than {max_candidates} candidate rows "
+            "to the driver; MMR is for small representative sets — reduce "
+            "the candidate set upstream or raise cfg.extra['mmr_max_candidates']"
+        )
     if pdf.empty:
         return candidates.sparkSession.createDataFrame(
             [], f"{id_col} string, {text_col} string, {score_col} double, mmr_rank long"

@@ -9,8 +9,17 @@ while this stage shuffles nothing (the only shuffles left in the
 pipeline are the bucket exchanges and the verify joins, which carry
 compact (id, band, bucket) triples).
 
+BATCH-SEGMENTED layout (round 2): the whole Arrow batch is processed
+as ONE flat token/shingle array with per-caption segment boundaries —
+one C-level regex pass tokenizes the entire batch, one polynomial-hash
+call hashes every token, np.minimum.reduceat folds the MinHash minima
+and np.add.reduceat the SimHash bit sums per caption. The round-1
+per-caption loop issued ~6 small numpy calls per row (~50 us fixed
+overhead each), which dominated the signature stage at 10^6 rows and
+was the main serial-floor contributor to the N->4N scaling gap.
+
 All hashing is seeded/deterministic numpy (north rule: identical
-results across runs and parallelism levels):
+results across runs and parallelism levels) and IDENTICAL to round 1:
   token/shingle hash  polynomial rolling hash over utf-8 bytes
                       (base = FNV prime, uint64 wrap)
   minhash_i           min over shingles of (a_i * x32 + b_i) mod P,
@@ -40,6 +49,10 @@ from .minhash import permutation_params, _P
 _B = np.uint64(1099511628211)  # FNV prime as polynomial base
 _POW_CACHE: dict[int, np.ndarray] = {}
 
+# cap on the flat shingle-chunk size for the (num_perm x chunk) MinHash
+# matrix: 64k shingles x 128 perms x 8 B = 64 MB working set per chunk
+_MH_CHUNK = 65536
+
 
 def _pows(n: int) -> np.ndarray:
     if n not in _POW_CACHE:
@@ -48,7 +61,9 @@ def _pows(n: int) -> np.ndarray:
 
 
 def _token_hashes(tokens: list[str]) -> np.ndarray:
-    """Vectorized polynomial hash per token (uint64 wrap)."""
+    """Vectorized polynomial hash per token (uint64 wrap). Works on the
+    token list of a whole batch at once — grouping into captions is the
+    caller's concern."""
     if not tokens:
         return np.empty(0, dtype=np.uint64)
     joined = "\x00".join(tokens).encode("utf-8")
@@ -77,18 +92,26 @@ def _token_hashes(tokens: list[str]) -> np.ndarray:
 
 
 def _shingle_hashes(tok_h: np.ndarray, k: int) -> np.ndarray:
-    """Distinct hashes of token k-grams from per-token hashes."""
+    """Distinct hashes of token k-grams from per-token hashes (single
+    caption; kept for the oracle/tests and the short-caption path)."""
     n = len(tok_h)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     if n < k:
-        h = np.uint64(0)
-        for x in tok_h:
-            h = h * _B + x
+        h = 0
+        for x in tok_h:  # python-int fold, explicit uint64 wrap
+            h = (h * int(_B) + int(x)) & 0xFFFFFFFFFFFFFFFF
         return np.array([h], dtype=np.uint64)
     sw = np.lib.stride_tricks.sliding_window_view(tok_h, k)
     pw = _pows(k)[::-1].copy()
     return np.unique((sw * pw).sum(axis=1))
+
+
+def _short_shingle(tok_h: np.ndarray) -> np.uint64:
+    h = 0
+    for x in tok_h:  # python-int fold, explicit uint64 wrap
+        h = (h * int(_B) + int(x)) & 0xFFFFFFFFFFFFFFFF
+    return np.uint64(h)
 
 
 def with_signatures(
@@ -110,7 +133,7 @@ def with_signatures(
     MASK32 = np.uint64(0xFFFFFFFF)
     k = cfg.shingle_size
     lower = cfg.lowercase
-    pat = re.compile(cfg.token_pattern)
+    token_pattern = cfg.token_pattern
     bits = cfg.simhash_bits
     want_sh = "shingles" in parts
     want_mh = "minhash" in parts
@@ -125,48 +148,174 @@ def with_signatures(
         fields.append(T.StructField("simhash", T.LongType()))
     schema = T.StructType(fields)
 
+    # fast tokenizer: one C-level regex pass over the whole batch joined
+    # with '\x01' (itself a separator under the default split pattern).
+    # Only valid when we can complement the split pattern; otherwise fall
+    # back to per-caption split with identical semantics.
+    match_pattern = None
+    m = re.fullmatch(r"\[\^([a-z0-9\-]+)\]\+", token_pattern)
+    if m is not None:
+        match_pattern = f"[{m.group(1)}]+"
+
+    def _tokenize_batch(caps: list[str]) -> tuple[list[str], np.ndarray]:
+        """-> (flat token list, token count per caption)."""
+        if match_pattern is not None:
+            joined = "\x01".join(caps)
+            starts = np.zeros(len(caps) + 1, dtype=np.int64)
+            starts[1:] = np.cumsum(np.fromiter((len(c) + 1 for c in caps),
+                                               dtype=np.int64, count=len(caps)))
+            toks: list[str] = []
+            tpos: list[int] = []
+            for mt in re.finditer(match_pattern, joined):
+                toks.append(mt.group())
+                tpos.append(mt.start())
+            owner = np.searchsorted(starts, np.array(tpos, dtype=np.int64),
+                                    side="right") - 1
+            counts = np.bincount(owner, minlength=len(caps)).astype(np.int64)
+            return toks, counts
+        pat = re.compile(token_pattern)
+        toks = []
+        counts = np.zeros(len(caps), dtype=np.int64)
+        for i, s in enumerate(caps):
+            ts = [t for t in pat.split(s) if t]
+            toks.extend(ts)
+            counts[i] = len(ts)
+        return toks, counts
+
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bit_idx = np.arange(bits, dtype=np.uint64)
+        two_pow = (np.uint64(1) << bit_idx).astype(np.uint64)
         for pdf in it:
+            n = len(pdf)
+            caps = [(c or "") for c in pdf[caption_col]]
+            if lower:
+                caps = [c.lower() for c in caps]
+            tokens, nt = _tokenize_batch(caps)
+            th_all = _token_hashes(tokens)
+            tok_starts = np.zeros(n + 1, dtype=np.int64)
+            tok_starts[1:] = np.cumsum(nt)
+
+            # ---- shingle array per caption (flat + segment bounds) ----
+            # full-width windows: valid iff the window stays in one caption
+            if len(th_all) >= k:
+                sw = np.lib.stride_tricks.sliding_window_view(th_all, k)
+                pw = _pows(k)[::-1].copy()
+                win_h = (sw * pw).sum(axis=1)
+            else:
+                win_h = np.empty(0, dtype=np.uint64)
+            # window j belongs to caption i iff tok_starts[i] <= j <= tok_starts[i+1]-k
+            n_win = np.maximum(nt - k + 1, 0)
+            win_starts = np.zeros(n + 1, dtype=np.int64)
+            win_starts[1:] = np.cumsum(n_win)
+            total_win = int(win_starts[-1])
+            if total_win > 0:
+                # gather valid window positions: for caption i they are
+                # tok_starts[i] .. tok_starts[i] + n_win[i] - 1
+                idx = np.repeat(tok_starts[:-1], n_win) + (
+                    np.arange(total_win) - np.repeat(win_starts[:-1], n_win)
+                )
+                sh_flat = win_h[idx]
+                owner = np.repeat(np.arange(n), n_win)
+                # per-caption distinct + sorted (uint64 order), vectorized:
+                order = np.lexsort((sh_flat, owner))
+                sh_sorted = sh_flat[order]
+                own_sorted = owner[order]
+                keep = np.ones(total_win, dtype=bool)
+                keep[1:] = (sh_sorted[1:] != sh_sorted[:-1]) | (
+                    own_sorted[1:] != own_sorted[:-1]
+                )
+                sh_flat = sh_sorted[keep]
+                owner = own_sorted[keep]
+                seg_counts = np.bincount(owner, minlength=n).astype(np.int64)
+            else:
+                sh_flat = np.empty(0, dtype=np.uint64)
+                seg_counts = np.zeros(n, dtype=np.int64)
+
+            # short captions (0 < nt < k): single fold hash (matches the
+            # per-caption formulation); rare, so a small loop is fine
+            short_idx = np.flatnonzero((nt > 0) & (nt < k))
+            short_h = {
+                int(i): _short_shingle(th_all[tok_starts[i]:tok_starts[i + 1]])
+                for i in short_idx
+            }
+            seg_counts[short_idx] = 1
+
+            seg_starts = np.zeros(n + 1, dtype=np.int64)
+            seg_starts[1:] = np.cumsum(seg_counts)
+            if short_idx.size:
+                # splice short-caption hashes into the flat array
+                full = np.empty(int(seg_starts[-1]), dtype=np.uint64)
+                # positions of existing segments
+                src = 0
+                for i in range(n):
+                    a0, a1 = seg_starts[i], seg_starts[i + 1]
+                    if i in short_h:
+                        full[a0] = short_h[i]
+                    else:
+                        cnt = a1 - a0
+                        full[a0:a1] = sh_flat[src:src + cnt]
+                        src += cnt
+                sh_flat = full
             out: dict[str, list] = {id_col: list(pdf[id_col])}
-            shs, mhs, sims = [], [], []
-            for cap in pdf[caption_col]:
-                s = (cap or "")
-                if lower:
-                    s = s.lower()
-                tokens = [t for t in pat.split(s) if t]
-                th = _token_hashes(tokens)
-                if want_sh or want_mh:
-                    sh = _shingle_hashes(th, k)
-                if want_sh:
-                    shs.append(sh.astype(np.int64).tolist())
-                if want_mh:
-                    if len(sh) == 0:
-                        mhs.append(None)
-                    else:
-                        x32 = sh & MASK32
-                        # (num_perm, n_shingles) without materializing huge
-                        # matrices: n_shingles is small (caption-scale)
-                        vals = (A[:, None] * x32[None, :] + Bb[:, None]) % P
-                        mhs.append(vals.min(axis=1).astype(np.int64).tolist())
-                if want_sim:
-                    if len(th) == 0:
-                        sims.append(None)
-                    else:
-                        b01 = (th[:, None] >> bit_idx[None, :]) & np.uint64(1)
-                        sums = (2 * b01.astype(np.int64) - 1).sum(axis=0)
-                        bitsv = (sums > 0).astype(np.uint64)
-                        val = np.uint64(0)
-                        for j in range(bits):
-                            val |= bitsv[j] << np.uint64(j)
-                        v = int(val)
-                        sims.append(v - (1 << 64) if v >= (1 << 63) else v)
+
             if want_sh:
+                shs: list = []
+                for i in range(n):
+                    shs.append(
+                        sh_flat[seg_starts[i]:seg_starts[i + 1]]
+                        .astype(np.int64)
+                        .tolist()
+                    )
                 out["shingles"] = shs
+
             if want_mh:
+                mhs: list = [None] * n
+                nonempty = np.flatnonzero(seg_counts > 0)
+                # chunk caption groups so (num_perm x chunk) stays cache-sized
+                gi = 0
+                while gi < len(nonempty):
+                    gj = gi
+                    tot = 0
+                    while gj < len(nonempty) and (
+                        tot == 0
+                        or tot + seg_counts[nonempty[gj]] <= _MH_CHUNK
+                    ):
+                        tot += int(seg_counts[nonempty[gj]])
+                        gj += 1
+                    grp = nonempty[gi:gj]
+                    # flat shingles of this caption group
+                    pieces = [sh_flat[seg_starts[i]:seg_starts[i + 1]] for i in grp]
+                    x32 = np.concatenate(pieces) & MASK32
+                    vals = (A[:, None] * x32[None, :] + Bb[:, None]) % P
+                    bounds = np.zeros(len(grp), dtype=np.int64)
+                    bounds[1:] = np.cumsum(seg_counts[grp])[:-1]
+                    mins = np.minimum.reduceat(vals, bounds, axis=1)
+                    mins64 = mins.astype(np.int64)
+                    for col, i in enumerate(grp):
+                        mhs[int(i)] = mins64[:, col].tolist()
+                    gi = gj
                 out["minhash"] = mhs
+
             if want_sim:
-                out["simhash"] = sims
+                sims: list = [None] * n
+                has_tok = np.flatnonzero(nt > 0)
+                if len(th_all) and has_tok.size:
+                    b01 = (
+                        (th_all[:, None] >> bit_idx[None, :]) & np.uint64(1)
+                    ).astype(np.int64)
+                    bounds = tok_starts[has_tok]
+                    ones = np.add.reduceat(b01, bounds, axis=0)
+                    sums = 2 * ones - nt[has_tok][:, None]
+                    bitsv = (sums > 0).astype(np.uint64)
+                    packed = (bitsv * two_pow[None, :]).sum(axis=1)
+                    packed64 = packed.astype(np.int64)
+                    for row, i in enumerate(has_tok):
+                        sims[int(i)] = int(packed64[row])
+                # nullable Int64, NOT a plain list: pandas would coerce
+                # int+None to float64 and silently destroy low bits of
+                # values above 2^53
+                out["simhash"] = pd.array(sims, dtype="Int64")
+
             yield pd.DataFrame(out)
 
     return df.select(id_col, caption_col).mapInPandas(batch, schema=schema)

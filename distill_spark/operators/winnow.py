@@ -94,6 +94,105 @@ def _with_fingerprints_numpy(
     return df.mapInPandas(batch, schema=schema)
 
 
+def refine_oversized(
+    members: DataFrame,
+    captions: DataFrame,
+    cfg: DedupConfig = DEFAULT,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+    fp_col: str = "fingerprint",
+    out: str = "subfp",
+) -> DataFrame:
+    """Refine OVERSIZED fingerprint buckets into star-safe sub-buckets.
+
+    members: (id, fingerprint) rows of buckets above the cap (from
+    lsh.pairs_and_overflow). For each member we locate every occurrence
+    of a k-gram hashing to `fingerprint` in its caption and hash every
+    L-CHAR window (L = lcs_min_len) that fully contains that k-gram.
+    Output: (id, fingerprint, subfp) rows.
+
+    Guarantees (closing the round-1 star-topology recall hole):
+      recall  — a genuine pair (common substring c, |c| >= L chars)
+                sharing fingerprint f has the k-gram inside c; some
+                L-char window of c contains it, and both docs enumerate
+                that window (starts are anchored to the occurrence), so
+                they share (f, subfp).
+      star-safe — ALL members of a (f, subfp) bucket contain the same
+                exact L-char substring, so EVERY pair in the bucket
+                (including star hub-spoke pairs) passes verify_lcs;
+                star topology then still produces the right connected
+                components no matter the bucket size.
+
+    Cost is proportional to oversized-bucket membership only (popular
+    boilerplate fingerprints), ~L - kgram window hashes per occurrence.
+    """
+    K, L, lower = cfg.winnow_kgram, cfg.lcs_min_len, cfg.lowercase
+    from pyspark.sql import types as T
+
+    joined = members.join(captions.select(id_col, caption_col), id_col)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField(fp_col, T.LongType()),
+            T.StructField(out, T.LongType()),
+        ]
+    )
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B = np.uint64(1099511628211)
+        pwK = B ** np.arange(K - 1, -1, -1, dtype=np.uint64)
+        # ascending powers for variable-length window hashes:
+        # hash(w) = sum(w[i] * B^(n-1-i)) = dot(reversed(w), asc[:n])
+        asc = B ** np.arange(0, 4 * L + K, dtype=np.uint64)
+        for pdf in it:
+            oids: list = []
+            ofps: list = []
+            osub: list = []
+            for rid, fp, cap in zip(pdf[id_col], pdf[fp_col], pdf[caption_col]):
+                s = cap or ""
+                if lower:
+                    s = s.lower()
+                b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+                if len(b) < K:
+                    continue
+                gh = (
+                    np.lib.stride_tricks.sliding_window_view(b, K).astype(np.uint64)
+                    * pwK
+                ).sum(axis=1)
+                fp_u = np.uint64(fp & 0xFFFFFFFFFFFFFFFF)
+                pos = np.flatnonzero(gh == fp_u)
+                if len(pos) == 0:
+                    continue
+                # char/byte maps (identity for ascii)
+                noncont = (b & 0xC0) != 0x80
+                charidx = np.cumsum(noncont) - 1  # char index of each byte
+                cstart = np.flatnonzero(noncont)  # byte offset of each char
+                nchars = len(cstart)
+                if nchars < L:
+                    continue
+                cend = np.append(cstart[1:], len(b))  # byte end of each char
+                subs: set = set()
+                for p in pos:
+                    c0 = int(charidx[p])
+                    c1 = int(charidx[p + K - 1])
+                    lo = max(0, c1 - L + 1)
+                    hi = min(c0, nchars - L)
+                    for st in range(lo, hi + 1):
+                        wb = b[cstart[st] : cend[st + L - 1]]
+                        n = len(wb)
+                        h = (wb[::-1].astype(np.uint64) * asc[:n]).sum()
+                        subs.add(int(h.astype(np.int64)))
+                for h in subs:
+                    oids.append(rid)
+                    ofps.append(fp)
+                    osub.append(h)
+            yield pd.DataFrame({id_col: oids, fp_col: ofps, out: osub})
+
+    return joined.select(id_col, fp_col, caption_col).mapInPandas(
+        batch, schema=schema
+    )
+
+
 def _with_fingerprints_jvm(
     df: DataFrame, col: str, out: str, cfg: DedupConfig
 ) -> DataFrame:
