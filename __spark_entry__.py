@@ -90,7 +90,8 @@ _PHASH_SQL = "(doc_id * 2654435761) % 4294967296"
 # connected components, the engine's clustering semantics).
 _DEDUP_EDGES_SQL = f"""
     corpus AS (
-      SELECT printf('doc%07d', id) AS id, lower(text) AS t FROM ({_CORPUS_SQL})
+      SELECT printf('doc%07d', id) AS id, lower(text) AS t, text AS rawtext
+      FROM ({_CORPUS_SQL})
     ),
     tok AS (
       SELECT id, t,
@@ -409,6 +410,26 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", F.round("sim", 4).alias("sim"))
 
 
+def q_embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of embedding near-dup: banded multi-table
+    hyperplane LSH + exact cosine verify (no crossJoin anywhere). At
+    threshold 0.99 the planted pairs (v vs 2v, cosine exactly 1 -> every
+    table collides) are found deterministically, so the brute-force SQL
+    oracle applies exactly."""
+    from distill_spark.functions.vectors import embedding_dup_pairs_lsh
+
+    em = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scaled = em.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    corpus = em.unionByName(scaled)
+    pairs = embedding_dup_pairs_lsh(corpus, threshold=0.99, dim=64)
+    return pairs.select("a", "b", F.round("sim", 4).alias("sim"))
+
+
 def q_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-ball join via pigeonhole blocks + exact verify — equals
     brute force exactly (recall 1.0 by construction), so SQL-checkable."""
@@ -534,25 +555,6 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_image_stats(images)
 
 
-def q_write_time_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Memory-store write-time dedup (rows-only): second batch of exact
-    copies must dedupe to zero inserts (reference memory_test.go:71)."""
-    import tempfile
-
-    from distill_spark.memory import MemoryStore
-
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    batch1 = d.select(F.format_string("m%05d", F.col("doc_id")).alias("id"), "text")
-    batch2 = d.select(F.format_string("n%05d", F.col("doc_id")).alias("id"), "text")
-    store = MemoryStore(spark, tempfile.mkdtemp(prefix="dsmem_"))
-    store.store_batch(batch1)
-    res = store.store_batch(batch2)
-    return res.duplicates.groupBy().agg(
-        F.count(F.lit(1)).alias("n_dup_pairs"),
-        F.countDistinct("new_id").alias("n_deduped"),
-    )
-
-
 _EDGES_SQL = """
     SELECT DISTINCT user_id % 100 AS src, (user_id * 7 + 3) % 100 AS dst
     FROM events WHERE user_id % 100 <> (user_id * 7 + 3) % 100
@@ -655,6 +657,117 @@ def q_hierarchical_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "level", F.length("summary").cast("long").alias("n_chars_summary"))
 
 
+def q_write_time_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memory-store write-time dedup, value-checked: store batch1 (m-ids),
+    then batch2 (n-ids) with identical texts — every batch2 row must be
+    rejected as a dup of its exact-text m-match (reference write probe,
+    pkg/memory/sqlite.go:243-279). Output: the (new_id, existing_id)
+    pair list, which SQL reproduces with a text-equality join."""
+    import tempfile
+
+    from distill_spark.memory import MemoryStore
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    batch1 = d.select(F.format_string("m%05d", F.col("doc_id")).alias("id"), "text")
+    batch2 = d.select(F.format_string("n%05d", F.col("doc_id")).alias("id"), "text")
+    # dup threshold ~1.0: only EXACT-copy rejections, so the SQL
+    # text-equality join is the precise oracle (organic near-dups among
+    # the 50 docs would otherwise shift which row got rejected)
+    store = MemoryStore(spark, tempfile.mkdtemp(prefix="dsmem_"),
+                        dup_jaccard=0.9999, conflict_jaccard=0.95)
+    store.store_batch(batch1)
+    res = store.store_batch(batch2)
+    return res.duplicates.filter(F.col("jaccard") >= 0.9999).select(
+        "new_id", "existing_id"
+    )
+
+
+def q_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained pipeline runner (dedup stage only, so the stage stats are
+    SQL-reproducible): token counts in/out of the dedup stage over the
+    planted corpus (reference pkg/pipeline/pipeline.go:73-204)."""
+    from distill_spark.operators.runner import run_pipeline, PipelineOptions
+
+    c = _corpus(spark, sf_dir).select(
+        F.format_string("doc%07d", F.col("id")).alias("image_id"),
+        F.col("text").alias("caption"),
+    )
+    res = run_pipeline(
+        c,
+        PipelineOptions(compress_enabled=False, summarize_enabled=False),
+    )
+    return res.stats.filter(F.col("stage") == "dedup").select(
+        "stage", "input_tokens", "output_tokens",
+        F.round("reduction", 6).alias("reduction"),
+    )
+
+
+def q_churn_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Files touched >= 3 times (reference commits.go:272-305); the file
+    list is synthesized deterministically from doc_id/n_files so the
+    oracle can rebuild it."""
+    from distill_spark.functions.commits import churn_hotspots
+
+    c = _commits_df(spark, sf_dir).withColumn(
+        "files",
+        F.expr(
+            "transform(sequence(1, cast(n_files % 5 AS INT) + 1), "
+            "i -> concat('src/f', cast((doc_id * i) % 40 AS STRING)))"
+        ),
+    )
+    return churn_hotspots(c, "files").select(
+        "file", F.col("touches").cast("long").alias("touches")
+    )
+
+
+def q_session_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SessionStore push + budget enforcement (rows-only: the level-1
+    extractive compressor is a skip-and-continue greedy, not SQL):
+    push 30 long docs into a tight budget; output per-entry level/token
+    state after progressive escalation (sqlite.go:484-600)."""
+    import tempfile
+
+    from distill_spark.session_store import SessionStore
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .orderBy("doc_id")
+        .collect()
+    )
+    store = SessionStore(spark, tempfile.mkdtemp(prefix="dssess_"))
+    sid = store.create("s1", max_tokens=2000, preserve_recent=5)
+    store.push(sid, [{"role": "user", "content": r["text"],
+                      "importance": 0.3 + (r["doc_id"] % 5) / 10.0} for r in d])
+    out, _ = store.context(sid)
+    return out.select("seq", F.col("compression_level").cast("long").alias("level"),
+                      "tokens")
+
+
+def q_cache_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cache pattern classifier + cache_control annotation policy
+    (reference pkg/cache/patterns.go:96-290): pattern types planted by
+    doc_id so every branch is exercised; top-4 marker placement by token
+    count. Pure Catalyst — SQL-checkable end to end."""
+    from distill_spark.functions.cache_patterns import with_cache_annotations
+
+    d = _t(spark, sf_dir, "documents")
+    chunk = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("You are a helpful assistant. "), F.col("text")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("function tool_name parameters setup: "), F.col("text")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("``` "), F.col("text"), F.lit(" ```")))
+        .otherwise(F.col("text"))
+    )
+    out = with_cache_annotations(
+        d.select("doc_id", chunk.alias("chunk")), "chunk", index_col="doc_id"
+    )
+    return out.select("doc_id", "pattern_type", "tokens", "recommended",
+                      "min_tokens_met", "cache_marker")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full multi-channel dedup pipeline at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -683,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "cosine_topk": q_cosine_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
         "phash_hamming_pairs": q_phash_hamming_pairs,
         "sensitivity": q_sensitivity,
         "dedup_clusters": q_dedup_clusters,
@@ -692,7 +806,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extractive_compress": q_extractive_compress,
         "mmr_rerank": q_mmr_rerank,
         "image_stats": q_image_stats,
-        "write_time_dedup": q_write_time_dedup,
+        "write_time_dedup": q_write_time_dedup_pairs,
+        "pipeline_stats": q_pipeline_stats,
+        "churn_hotspots": q_churn_hotspots,
+        "session_budget": q_session_budget,
+        "cache_annotations": q_cache_annotations,
         "graph_degrees": q_graph_degrees,
         "graph_blast_radius": q_graph_blast_radius,
         "commit_patterns": q_commit_patterns,
@@ -912,6 +1030,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b, sim FROM p WHERE sim >= 0.95
         """,
+        "embedding_dup_pairs_lsh": """
+            WITH corpus AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, list_transform(embedding, x -> (x * 2.0::FLOAT)::FLOAT)
+              FROM embeddings WHERE vec_id % 10 = 0
+            ),
+            p AS (
+              SELECT x.vec_id AS a, y.vec_id AS b,
+                     round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) AS sim
+              FROM corpus x, corpus y WHERE x.vec_id < y.vec_id
+            )
+            SELECT a, b, sim FROM p WHERE sim >= 0.99
+        """,
         "phash_hamming_pairs": f"""
             WITH ph AS (
               SELECT doc_id AS id, {_PHASH_SQL} AS phash FROM documents
@@ -994,11 +1126,179 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT risk, count(*) AS n FROM r GROUP BY risk
         """,
+        "write_time_dedup": """
+            WITH b1 AS (SELECT printf('m%05d', doc_id) AS id, text
+                        FROM documents WHERE doc_id < 50),
+                 b2 AS (SELECT printf('n%05d', doc_id) AS id, text
+                        FROM documents WHERE doc_id < 50)
+            SELECT b2.id AS new_id, b1.id AS existing_id
+            FROM b2 JOIN b1 USING (text)
+        """,
+        "pipeline_stats": f"""
+            WITH RECURSIVE {_DEDUP_EDGES_SQL},
+            ptok AS (
+              SELECT id,
+                     (length(regexp_replace(rawtext, '[ \n\t]', '', 'g')) + 3) // 4
+                       AS est
+              FROM corpus
+            ),
+            reps AS (SELECT min(image_id) AS rep FROM comp GROUP BY component),
+            io AS (
+              SELECT (SELECT sum(est) FROM ptok) AS input_tokens,
+                     (SELECT sum(est) FROM ptok JOIN reps ON ptok.id = reps.rep)
+                       AS output_tokens
+            )
+            SELECT 'dedup' AS stage,
+                   input_tokens::BIGINT AS input_tokens,
+                   output_tokens::BIGINT AS output_tokens,
+                   round(greatest((input_tokens - output_tokens) * 1.0
+                                  / input_tokens, 0), 6) AS reduction
+            FROM io
+        """,
+        "churn_hotspots": f"""
+            WITH c AS ({_COMMITS_SQL}),
+            f AS (
+              SELECT unnest(['src/f' || ((doc_id * i) % 40)::VARCHAR
+                             for i in generate_series(1, (n_files % 5) + 1)]) AS file
+              FROM c
+            )
+            SELECT file, count(*)::BIGINT AS touches
+            FROM f GROUP BY file HAVING count(*) >= 3
+        """,
+        "hierarchical_summaries": _hierarchical_summaries_sql(),
+        "cache_annotations": _cache_annotations_sql(),
         # image_brightness / image_stats / extractive_compress / mmr_rerank /
-        # structured_compress: non-SQL-expressible (PCG64 pixel payloads,
-        # skip-and-continue greedy knapsack, structural JSON walker)
-        # -> rows-only checks.
+        # structured_compress / session_budget: non-SQL-expressible (PCG64
+        # pixel payloads, skip-and-continue greedy knapsack, structural JSON
+        # walker, stateful session escalation) -> rows-only checks.
     }
+
+
+def _hierarchical_summaries_sql() -> str:
+    """DuckDB replica of functions.compress.summarize_at_level: level 1 =
+    first paragraph + fenced code blocks not already in it; level 2 =
+    first two sentences (lookbehind split emulated with a chr(1) marker,
+    RE2 has no lookbehind) else first 160 chars; level 3 = first 12
+    distinct >=4-char tokens in order."""
+    nl2 = "chr(10)||chr(10)"
+    para = f"str_split(t, {nl2})[1]"
+    ws = "' '||chr(9)||chr(10)||chr(13)"
+    return f"""
+        WITH d AS (
+          SELECT doc_id, coalesce(text, '') AS t, (doc_id % 4)::INT AS level
+          FROM documents
+        ),
+        l1 AS (
+          SELECT doc_id,
+            length(array_to_string(
+              list_concat([{para}],
+                list_filter(regexp_extract_all(t, '(?s)```.*?```'),
+                            c -> NOT contains({para}, c))),
+              {nl2})) AS n
+          FROM d
+        ),
+        l2 AS (
+          SELECT doc_id,
+            CASE WHEN len(pieces) = 0 THEN length(substr(t, 1, 160))
+                 ELSE length(array_to_string(pieces[1:2], ' ')) END AS n
+          FROM (
+            SELECT doc_id, t,
+              list_filter(
+                string_split(regexp_replace(t, '([.!?])\\s+', '\\1'||chr(1), 'g'),
+                             chr(1)),
+                s -> trim(s, {ws}) <> '') AS pieces
+            FROM d)
+        ),
+        tokd AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(t), '[^a-z0-9]+'),
+                             w -> length(w) >= 4) AS toks
+          FROM d
+        ),
+        t3 AS (
+          SELECT doc_id, tok, min(pos) AS fp
+          FROM (SELECT doc_id, unnest(toks) AS tok,
+                       generate_subscripts(toks, 1) AS pos FROM tokd)
+          GROUP BY doc_id, tok
+        ),
+        r3 AS (
+          SELECT doc_id, tok,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY fp) AS rn
+          FROM t3
+        ),
+        s3 AS (
+          SELECT doc_id, length(string_agg(tok, ' ' ORDER BY rn)) AS n
+          FROM r3 WHERE rn <= 12 GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.level,
+               (CASE d.level
+                  WHEN 0 THEN length(d.t)
+                  WHEN 1 THEN l1.n
+                  WHEN 2 THEN l2.n
+                  ELSE coalesce(s3.n, 0) END)::BIGINT AS n_chars_summary
+        FROM d
+        LEFT JOIN l1 USING (doc_id)
+        LEFT JOIN l2 USING (doc_id)
+        LEFT JOIN s3 ON s3.doc_id = d.doc_id
+    """
+
+
+def _cache_annotations_sql() -> str:
+    """DuckDB replica of functions.cache_patterns (generated from the
+    same prefix/marker lists so the two engines cannot drift)."""
+    from distill_spark.functions import cache_patterns as CP
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    sys_pred = " OR ".join(
+        f"contains(hd, '{q(p)}')" for p in CP.SYSTEM_PROMPT_PREFIXES
+    )
+    tool_cnt = " + ".join(
+        f"contains(lt, '{q(m)}')::INT" for m in CP.TOOL_DEFINITION_MARKERS
+    )
+    code_pred = " OR ".join(f"contains(t, '{q(m)}')" for m in CP.CODE_MARKERS)
+    return f"""
+        WITH c AS (
+          SELECT doc_id,
+                 CASE doc_id % 4
+                   WHEN 0 THEN 'You are a helpful assistant. ' || text
+                   WHEN 1 THEN 'function tool_name parameters setup: ' || text
+                   WHEN 2 THEN '``` ' || text || ' ```'
+                   ELSE text END AS t
+          FROM documents
+        ),
+        a AS (
+          SELECT doc_id, t, lower(t) AS lt, substr(lower(t), 1, 200) AS hd,
+                 (length(t) + 3) // 4 AS tokens
+          FROM c
+        ),
+        cls AS (
+          SELECT doc_id, tokens,
+            CASE WHEN length(t) < {CP.MIN_LENGTH} THEN 'none'
+                 WHEN {sys_pred} THEN 'system_prompt'
+                 WHEN ({tool_cnt}) >= 2 THEN 'tool_definition'
+                 WHEN {code_pred} THEN 'code_block'
+                 ELSE 'document' END AS pattern_type
+          FROM a
+        ),
+        ann AS (
+          SELECT doc_id, pattern_type, tokens::BIGINT AS tokens,
+            (pattern_type IN ('system_prompt', 'tool_definition', 'document')
+             OR (pattern_type = 'code_block' AND tokens >= {CP.CODE_MIN_TOKENS}))
+              AS recommended,
+            tokens >= {CP.MIN_CACHEABLE_TOKENS} AS min_tokens_met
+          FROM cls
+        ),
+        rk AS (
+          SELECT *, row_number() OVER (PARTITION BY recommended
+                                       ORDER BY tokens DESC, doc_id ASC) AS rn
+          FROM ann
+        )
+        SELECT doc_id, pattern_type, tokens, recommended, min_tokens_met,
+               (recommended AND rn <= {CP.MAX_CACHE_MARKERS}) AS cache_marker
+        FROM rk
+    """
 
 
 def _prune_fillers_sql() -> str:

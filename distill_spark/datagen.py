@@ -303,21 +303,22 @@ def images_from_documents(
 
     def gen(batches):
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                rng = np.random.default_rng(seed + int(r.doc_id))
+            blobs, hashes = [], []
+            for did in pdf["doc_id"]:
+                rng = np.random.default_rng(seed + int(did))
                 px = _pixels(rng, 16, 16)
-                out.append(
-                    {
-                        "image_id": r.image_id,
-                        "bytes": px.tobytes(),
-                        "w": 16,
-                        "h": 16,
-                        "fmt": "rgb8",
-                        "caption": r.caption,
-                        "phash": average_hash(px),
-                    }
-                )
-            yield pd.DataFrame(out)
+                blobs.append(px.tobytes())
+                hashes.append(average_hash(px))
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "bytes": blobs,
+                    "w": 16,
+                    "h": 16,
+                    "fmt": "rgb8",
+                    "caption": pdf["caption"],
+                    "phash": pd.array(hashes, dtype="Int64"),
+                }
+            )
 
     return base.mapInPandas(gen, schema=IMAGES_SCHEMA)

@@ -1,0 +1,121 @@
+"""Cache pattern classifier + cache_control annotation policy.
+
+Reference: /root/reference/pkg/cache/patterns.go
+  classifyPattern :252-290 — system-prompt prefixes (first 200 chars),
+  tool-definition markers (>=2 hits), code markers, else document
+  annotate        :216-249 — recommended iff system/tool/document, or
+  code with >= 512 tokens; min_tokens_met at the 1024-token floor
+  AnnotateChunksForCache :139-188 — at most 4 markers, highest token
+  counts win (ties: earliest chunk), manual markers disable placement
+  estimateTokens  :244-247 — (len+3)/4
+
+Everything is a Catalyst expression (string predicates + one window
+for the top-4 marker selection) — no Python in the row path, so the
+classifier runs at scan speed over any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MIN_LENGTH = 50
+MIN_CACHEABLE_TOKENS = 1024
+MAX_CACHE_MARKERS = 4
+CODE_MIN_TOKENS = 512
+
+SYSTEM_PROMPT_PREFIXES = [
+    "you are", "you're", "your role", "as an ai", "as a helpful",
+    "system:", "<system>", "[system]",
+]
+TOOL_DEFINITION_MARKERS = [
+    "function", "tool_name", "tool_description", "parameters",
+    '"type": "function"', "<tool>", "[tool]",
+]
+CODE_MARKERS = ["```", "def ", "func ", "function "]
+
+
+def token_estimate(col: str | Column) -> Column:
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    return ((F.length(c) + 3) / 4).cast("long")
+
+
+def pattern_type(col: str | Column) -> Column:
+    """'none' (too short) | 'system_prompt' | 'tool_definition' |
+    'code_block' | 'document' — classifyPattern order."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    lower = F.lower(c)
+    head = F.substring(lower, 1, 200)
+    is_system = F.lit(False)
+    for p in SYSTEM_PROMPT_PREFIXES:
+        is_system = is_system | F.contains(head, F.lit(p))
+    tool_hits = sum(
+        (F.contains(lower, F.lit(m))).cast("int") for m in TOOL_DEFINITION_MARKERS
+    )
+    is_code = F.lit(False)
+    for m in CODE_MARKERS:
+        is_code = is_code | F.contains(c, F.lit(m))
+    return (
+        F.when(F.length(c) < MIN_LENGTH, F.lit("none"))
+        .when(is_system, F.lit("system_prompt"))
+        .when(tool_hits >= 2, F.lit("tool_definition"))
+        .when(is_code, F.lit("code_block"))
+        .otherwise(F.lit("document"))
+    )
+
+
+def cache_recommended(ptype: Column, tokens: Column) -> Column:
+    """annotate() policy: system/tool/document always recommended; code
+    only at >= 512 tokens; 'none' never."""
+    return (
+        F.when(ptype.isin("system_prompt", "tool_definition", "document"), F.lit(True))
+        .when((ptype == "code_block") & (tokens >= CODE_MIN_TOKENS), F.lit(True))
+        .otherwise(F.lit(False))
+    )
+
+
+def cache_reason(ptype: Column) -> Column:
+    return (
+        F.when(ptype == "system_prompt", F.lit("system_prompt"))
+        .when(ptype == "tool_definition", F.lit("tool_definition"))
+        .when(ptype == "code_block", F.lit("stable_code_block"))
+        .when(ptype == "document", F.lit("document"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def with_cache_annotations(
+    df: DataFrame,
+    text_col: str = "text",
+    index_col: str | None = None,
+    manual_marker_col: str | None = None,
+) -> DataFrame:
+    """Adds pattern_type, tokens, recommended, min_tokens_met, reason,
+    and cache_marker (the AnnotateChunksForCache top-MAX_CACHE_MARKERS
+    selection by token count, ties broken by chunk order).
+
+    If manual_marker_col is given and ANY row has it true, auto
+    placement is skipped (cache_marker = the manual flags), mirroring
+    the reference's manual-marker escape hatch."""
+    order_col = index_col or text_col
+    ptype = pattern_type(text_col)
+    toks = token_estimate(text_col)
+    out = (
+        df.withColumn("pattern_type", ptype)
+        .withColumn("tokens", toks)
+        .withColumn("recommended", cache_recommended(F.col("pattern_type"), F.col("tokens")))
+        .withColumn("min_tokens_met", F.col("tokens") >= MIN_CACHEABLE_TOKENS)
+        .withColumn("reason", F.when(F.col("recommended"), cache_reason(F.col("pattern_type"))))
+    )
+    # rank within the candidate set only (partition on the boolean)
+    wr = Window.partitionBy("recommended").orderBy(F.desc("tokens"), F.asc(order_col))
+    auto = F.col("recommended") & (F.row_number().over(wr) <= MAX_CACHE_MARKERS)
+    if manual_marker_col is not None:
+        any_manual = F.max(F.col(manual_marker_col).cast("int")).over(
+            Window.partitionBy()
+        )
+        return out.withColumn(
+            "cache_marker",
+            F.when(any_manual == 1, F.col(manual_marker_col)).otherwise(auto),
+        )
+    return out.withColumn("cache_marker", auto)

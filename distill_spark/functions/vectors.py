@@ -135,6 +135,101 @@ def with_hyperplane_bucket(
     return df.withColumn(out, bucket)
 
 
+def hyperplane_band_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    n_planes: int = 12,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table (banded, OR-construction) random-hyperplane LSH:
+    (id, table, bucket) rows — one sign-pattern bucket per table, the
+    cosine analog of MinHash band bucketing. P(same bucket in one
+    table) = (1 - theta/pi)^n_planes; over n_tables OR'd tables the
+    candidate probability at cosine 0.95 with (12, 16) defaults is
+    ~0.995 and rises steeply above it (the round-1 single-table variant
+    had ~0.28 and real recall loss — VERDICT).
+
+    The T*P projections run as ONE numpy matrix multiply per Arrow
+    batch (BLAS), not T*P Catalyst aggregate() expressions."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if dim is None:
+        field = df.schema[vec_col]
+        dim = (field.metadata or {}).get("dim")
+        if dim is None:
+            raise ValueError("pass dim= (schema carries no vector dim)")
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes * n_tables)).astype(np.float32)
+    pack = (2 ** np.arange(n_planes, dtype=np.int64))
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("table", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float32) for v in pdf[vec_col]])
+            signs = (mat @ planes) > 0  # (batch, tables*planes)
+            signs = signs.reshape(len(pdf), n_tables, n_planes)
+            buckets = (signs * pack[None, None, :]).sum(axis=2)  # (batch, tables)
+            ids = np.repeat(pdf[id_col].to_numpy(), n_tables)
+            tables = np.tile(np.arange(n_tables, dtype=np.int32), len(pdf))
+            yield pd.DataFrame(
+                {id_col: ids, "table": tables, "bucket": buckets.reshape(-1)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(batch, schema=schema)
+
+
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int = 12,
+    n_tables: int = 16,
+    seed: int = 42,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Scale path for embedding near-dup: banded hyperplane LSH candidate
+    generation + EXACT cosine verify >= threshold. Star fallback on
+    oversized buckets is sound here for the same reason as MinHash bands:
+    the channel is probabilistic and the other n_tables-1 tables rescue
+    pairs an oversized bucket misses."""
+    from ..operators.lsh import pairs_from_buckets
+    from ..config import DedupConfig
+
+    buckets = hyperplane_band_buckets(
+        df, vec_col, id_col, dim=dim, n_planes=n_planes,
+        n_tables=n_tables, seed=seed,
+    )
+    cand = pairs_from_buckets(
+        buckets, ["table", "bucket"], id_col,
+        DedupConfig(max_bucket_size=max_bucket_size), cap=max_bucket_size,
+    )
+    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "a").join(vb, "b")
+        .withColumn("sim", cosine_similarity(F.col("_va"), F.col("_vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -143,23 +238,20 @@ def embedding_near_dup_pairs(
     approx: bool = False,
     n_planes: int = 12,
     dim: int | None = None,
+    n_tables: int = 16,
 ) -> DataFrame:
-    """(a, b, sim) pairs with cosine >= threshold. approx=True buckets by
-    random hyperplanes first (misses cross-bucket pairs — scale path);
-    approx=False is the exact quadratic baseline."""
+    """(a, b, sim) pairs with cosine >= threshold. approx=True routes
+    through the banded multi-table hyperplane LSH (the scale path;
+    recall ~0.995 at sim=0.95 with defaults); approx=False is the exact
+    quadratic baseline kept as the small-N oracle."""
     if approx:
-        b = with_hyperplane_bucket(df, vec_col, n_planes, dim=dim)
-        left = b.select(
-            F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "hp_bucket"
+        return embedding_dup_pairs_lsh(
+            df, threshold, id_col, vec_col, dim=dim,
+            n_planes=n_planes, n_tables=n_tables,
         )
-        right = b.select(
-            F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "hp_bucket"
-        )
-        pairs = left.join(right, "hp_bucket").filter(F.col("a") < F.col("b"))
-    else:
-        left = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-        right = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-        pairs = left.crossJoin(right).filter(F.col("a") < F.col("b"))
+    left = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    right = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    pairs = left.crossJoin(right).filter(F.col("a") < F.col("b"))
     return (
         pairs.withColumn("sim", cosine_similarity(F.col("va"), F.col("vb")))
         .filter(F.col("sim") >= threshold)

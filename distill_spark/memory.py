@@ -51,7 +51,11 @@ MEMORY_SCHEMA = (
     "id string, text string, tags array<string>, source string, "
     "session string, created_at timestamp, last_referenced timestamp, "
     "access_count long, expired boolean, expires_at timestamp, "
-    "superseded_by string, sensitivity long, decay_level long"
+    "superseded_by string, sensitivity long, decay_level long, "
+    # signatures are PERSISTED WITH THE ROW at write time (round-2 scale
+    # hygiene): recall()/store_batch() read them instead of recomputing
+    # MinHash/shingles for the whole store on every operation
+    "shingles array<bigint>, minhash array<bigint>"
 )
 
 
@@ -69,16 +73,43 @@ class MemoryStore:
         self.cfg = cfg or DedupConfig()
         self.dup_jaccard, self.conflict_jaccard = dup_jaccard, conflict_jaccard
         os.makedirs(path, exist_ok=True)
+        # lifecycle event handlers (reference OnLifecycleEvent,
+        # sqlite.go:724-736): called synchronously, registration order
+        self._handlers: list = []
+
+    def on_lifecycle_event(self, handler) -> None:
+        self._handlers.append(handler)
+
+    def _emit(self, event_type: str, ids: list[str], detail: dict | None = None) -> None:
+        for h in self._handlers:
+            h({"type": event_type, "ids": ids, **(detail or {})})
 
     # ------------------------------------------------------------- storage
     def _data_path(self) -> str:
         return os.path.join(self.path, "memories")
 
+    def conflicts(self) -> DataFrame:
+        """Persisted conflict-pair log (reference keeps conflicts in the
+        store result with NewID backfilled, sqlite.go:209-213; we also
+        persist them so conflict review survives the session)."""
+        p = os.path.join(self.path, "conflicts")
+        if not os.path.exists(p):
+            return self.spark.createDataFrame(
+                [], "new_id string, existing_id string, jaccard double, "
+                    "detected_at timestamp"
+            )
+        return self.spark.read.parquet(p)
+
     def snapshot(self) -> DataFrame:
         p = self._data_path()
         if not os.path.exists(p):
             return self.spark.createDataFrame([], MEMORY_SCHEMA)
-        return self.spark.read.parquet(p)
+        df = self.spark.read.parquet(p)
+        if "minhash" not in df.columns:  # legacy store: derive once on read
+            sigs = with_signatures(df.select("id", "text"), "text", "id",
+                                   self.cfg, parts=("shingles", "minhash"))
+            df = df.join(sigs, "id", "left")
+        return df
 
     def _publish(self, df: DataFrame) -> None:
         """Atomic overwrite: write new version, swap directory."""
@@ -93,40 +124,73 @@ class MemoryStore:
         else:
             os.replace(tmp, p)
 
+    def _append(self, df: DataFrame) -> None:
+        """Append-only write: stage to a temp dir, then MOVE the data
+        files in (near-atomic on one filesystem; a crash mid-move leaves
+        whole files, not partial ones). On clusters this is an Iceberg
+        transactional append."""
+        p = self._data_path()
+        if not os.path.exists(p):
+            self._publish(df)
+            return
+        tmp = p + "._app" + uuid.uuid4().hex[:6]
+        df.write.mode("overwrite").parquet(tmp)
+        for name in os.listdir(tmp):
+            if name.endswith(".parquet"):
+                os.replace(
+                    os.path.join(tmp, name),
+                    os.path.join(p, f"app-{uuid.uuid4().hex[:8]}-{name}"),
+                )
+        shutil.rmtree(tmp)
+
     # --------------------------------------------------------------- store
-    def _similar_pairs(self, new: DataFrame, existing: DataFrame) -> DataFrame:
-        """(new_id, existing_id, jaccard) for candidate pairs via LSH
-        band join of the new batch's signatures against stored ones."""
+    def _pairs_from_sigs(self, sig_new: DataFrame, sig_old: DataFrame,
+                         a_col: str = "new_id", b_col: str = "existing_id",
+                         anti_reflexive: bool = False) -> DataFrame:
+        """(a, b, jaccard) candidate pairs via LSH band join between two
+        signature tables (id, shingles, minhash). No signature is ever
+        recomputed here — callers pass persisted or batch-computed sigs."""
         cfg = self.cfg
-        sig_new = with_signatures(new.select("id", "text"), "text", "id", cfg,
-                                  parts=("shingles", "minhash"))
-        sig_old = with_signatures(existing.select("id", "text"), "text", "id", cfg,
-                                  parts=("shingles", "minhash"))
         bb_new = band_buckets(sig_new.filter(F.col("minhash").isNotNull()), "minhash", "id", cfg)
         bb_old = band_buckets(sig_old.filter(F.col("minhash").isNotNull()), "minhash", "id", cfg)
+        cond = ["band", "bucket"]
         cand = (
-            bb_new.select(F.col("id").alias("new_id"), "band", "bucket")
-            .join(bb_old.select(F.col("id").alias("existing_id"), "band", "bucket"),
-                  ["band", "bucket"])
-            .select("new_id", "existing_id")
-            .dropDuplicates(["new_id", "existing_id"])
+            bb_new.select(F.col("id").alias(a_col), "band", "bucket")
+            .join(bb_old.select(F.col("id").alias(b_col), "band", "bucket"), cond)
+            .select(a_col, b_col)
         )
-        sa = sig_new.select(F.col("id").alias("new_id"), F.col("shingles").alias("sh_a"))
-        sb = sig_old.select(F.col("id").alias("existing_id"), F.col("shingles").alias("sh_b"))
+        if anti_reflexive:
+            cand = cand.filter(F.col(a_col) > F.col(b_col))
+        cand = cand.dropDuplicates([a_col, b_col])
+        sa = sig_new.select(F.col("id").alias(a_col), F.col("shingles").alias("sh_a"))
+        sb = sig_old.select(F.col("id").alias(b_col), F.col("shingles").alias("sh_b"))
         return (
-            cand.join(sa, "new_id").join(sb, "existing_id")
+            cand.join(sa, a_col).join(sb, b_col)
             .withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
-            .select("new_id", "existing_id", "jaccard")
+            .select(a_col, b_col, "jaccard")
         )
+
+    def _similar_pairs(self, new: DataFrame, existing: DataFrame) -> DataFrame:
+        """(new_id, existing_id, jaccard) of a raw batch vs stored rows
+        (stored signatures are read, not recomputed)."""
+        sig_new = with_signatures(new.select("id", "text"), "text", "id", self.cfg,
+                                  parts=("shingles", "minhash"))
+        sig_old = existing.select("id", "shingles", "minhash")
+        return self._pairs_from_sigs(sig_new, sig_old)
 
     def store_batch(self, entries: DataFrame, now: F.Column | None = None) -> StoreResult:
         """entries(id, text, tags?, source?, session?, expires_at?).
 
         Write-time dedup: entries whose text is a near-dup (jaccard >=
-        dup threshold) of a live stored entry are NOT inserted; the
-        matched entry is touched. Conflict-band pairs are recorded and
-        inserted anyway. Everything is one batch of joins — no per-row
-        probing.
+        dup threshold) of a live stored entry OR of an earlier-accepted
+        entry of the SAME batch are NOT inserted; the matched entry is
+        touched (stored matches only). The intra-batch pass mirrors the
+        reference's per-row probe order (sqlite.go:243-279: earlier rows
+        of a batch are already stored when later rows check) with id
+        order as the deterministic stand-in for arrival order.
+        Everything is one batch of joins — no per-row probing; only the
+        (small, output-bound) intra-batch dup edge list is collected for
+        the order-dependent greedy.
         """
         now = now if now is not None else F.current_timestamp()
         existing = self.snapshot()
@@ -135,15 +199,48 @@ class MemoryStore:
             & (F.col("expires_at").isNull() | (F.col("expires_at") > now))
         )
 
-        pairs = self._similar_pairs(entries, live).persist()
+        sig_new = with_signatures(entries.select("id", "text"), "text", "id",
+                                  self.cfg, parts=("shingles", "minhash")).persist()
+        sig_old = live.select("id", "shingles", "minhash")
+        pairs = self._pairs_from_sigs(sig_new, sig_old).persist()
         dups = pairs.filter(F.col("jaccard") >= self.dup_jaccard)
         conflicts = pairs.filter(
             (F.col("jaccard") >= self.conflict_jaccard)
             & (F.col("jaccard") < self.dup_jaccard)
         )
 
-        dup_new_ids = dups.select(F.col("new_id").alias("id")).distinct()
-        to_insert = entries.join(dup_new_ids, "id", "left_anti")
+        # intra-batch dedup: greedy in id order over the (small) dup-edge
+        # list — b is rejected iff it near-dups an earlier row that was
+        # itself ACCEPTED (chains: a~b, b~c, a!~c => a, c kept, b dropped)
+        intra = (
+            self._pairs_from_sigs(sig_new, sig_new, "b", "a", anti_reflexive=True)
+            .filter(F.col("jaccard") >= self.dup_jaccard)
+            .select("a", "b", "jaccard")
+        )
+        rejected_vs_stored = {r["new_id"] for r in dups.select("new_id").distinct().collect()}
+        intra_edges = sorted(
+            (r["a"], r["b"], r["jaccard"]) for r in intra.collect()
+        )
+        rejected_intra: dict[str, tuple[str, float]] = {}
+        by_b: dict[str, list[tuple[str, float]]] = {}
+        for a, b, j in intra_edges:
+            by_b.setdefault(b, []).append((a, j))
+        for b in sorted(by_b):
+            for a, j in sorted(by_b[b]):
+                if a not in rejected_vs_stored and a not in rejected_intra:
+                    rejected_intra[b] = (a, j)
+                    break
+
+        all_rejected = rejected_vs_stored | set(rejected_intra)
+        if not all_rejected:
+            to_insert = entries
+        elif len(all_rejected) <= 1000:
+            to_insert = entries.filter(~F.col("id").isin(list(all_rejected)))
+        else:
+            rej_df = self.spark.createDataFrame(
+                [(i,) for i in all_rejected], "id string"
+            )
+            to_insert = entries.join(rej_df, "id", "left_anti")
 
         for col, default in [
             ("tags", F.array().cast("array<string>")),
@@ -162,21 +259,45 @@ class MemoryStore:
             F.lit(None).cast("string").alias("superseded_by"),
             sensitivity_level("text").cast("long").alias("sensitivity"),
             F.lit(0).cast("long").alias("decay_level"),
-        )
+        ).join(sig_new.select("id", "shingles", "minhash"), "id", "left")
 
         touched_ids = dups.select(F.col("existing_id").alias("id")).distinct()
-        updated = (
-            existing.join(touched_ids.withColumn("_hit", F.lit(1)), "id", "left")
-            .withColumn("access_count",
-                        F.when(F.col("_hit").isNotNull(), F.col("access_count") + 1)
-                        .otherwise(F.col("access_count")))
-            .withColumn("last_referenced",
-                        F.when(F.col("_hit").isNotNull(), now)
-                        .otherwise(F.col("last_referenced")))
-            .drop("_hit")
+        n_touched = touched_ids.limit(1).count()
+        if n_touched == 0 and not rejected_intra:
+            # pure-insert fast path: APPEND new rows; the store is never
+            # rewritten (Iceberg append on clusters). Only dup-touch
+            # updates force a rewrite (Iceberg MERGE INTO there).
+            self._append(inserted)
+        else:
+            updated = (
+                existing.join(touched_ids.withColumn("_hit", F.lit(1)), "id", "left")
+                .withColumn("access_count",
+                            F.when(F.col("_hit").isNotNull(), F.col("access_count") + 1)
+                            .otherwise(F.col("access_count")))
+                .withColumn("last_referenced",
+                            F.when(F.col("_hit").isNotNull(), now)
+                            .otherwise(F.col("last_referenced")))
+                .drop("_hit")
+            )
+            self._publish(updated.unionByName(inserted))
+        intra_rows = [(b, a, float(j)) for b, (a, j) in rejected_intra.items()]
+        intra_df = self.spark.createDataFrame(
+            intra_rows, "new_id string, existing_id string, jaccard double"
         )
-        self._publish(updated.unionByName(inserted))
-        return StoreResult(stored=inserted, duplicates=dups, conflicts=conflicts)
+        # persist the conflict log (new_id is already attached — the
+        # reference's post-insert NewID backfill, sqlite.go:209-213)
+        conf_out = conflicts.select("new_id", "existing_id", "jaccard").withColumn(
+            "detected_at", now
+        )
+        conf_out.write.mode("append").parquet(os.path.join(self.path, "conflicts"))
+        if self._handlers:
+            self._emit("store", [r["id"] for r in inserted.select("id").collect()])
+            self._emit("duplicate", sorted(all_rejected))
+        return StoreResult(
+            stored=inserted,
+            duplicates=dups.select("new_id", "existing_id", "jaccard").unionByName(intra_df),
+            conflicts=conflicts,
+        )
 
     # -------------------------------------------------------------- recall
     def recall(self, query: str, k: int = 8, min_relevance: float = 0.0,
@@ -194,7 +315,8 @@ class MemoryStore:
         if tags:
             mem = mem.filter(F.arrays_overlap(F.col("tags"), F.array(*[F.lit(t) for t in tags])))
 
-        sigs = with_signatures(mem.select("id", "text"), "text", "id", cfg, parts=("shingles",))
+        # stored signatures are read off the row (persisted at write time)
+        # — recall() computes a signature only for the 1-row query
         qdf = self.spark.createDataFrame([("q", query)], "id string, text string")
         qsh = with_signatures(qdf, "text", "id", cfg, parts=("shingles",)) \
             .select(F.col("shingles").alias("qsh"))
@@ -207,7 +329,10 @@ class MemoryStore:
             F.size(F.array_intersect(F.col("shingles"), F.col("qsh"))) / F.size("qsh"),
         ).otherwise(F.lit(0.0))
         scored = (
-            mem.join(sigs, "id")
+            mem.withColumn(
+                "shingles",
+                F.coalesce(F.col("shingles"), F.array().cast("array<bigint>")),
+            )
             .crossJoin(F.broadcast(qsh))
             .withColumn(
                 "sim",
@@ -240,8 +365,9 @@ class MemoryStore:
         if tags:
             cond = cond | F.arrays_overlap(F.col("tags"), F.array(*[F.lit(t) for t in tags]))
         kept = mem.filter(~cond)
-        removed = mem.count() - kept.count()
+        removed = mem.filter(cond).count()  # one count, not two full scans
         self._publish(kept)
+        self._emit("forget", ids or [], {"tags": tags or [], "removed": removed})
         return removed
 
     def expire(self, ids: list[str], now: F.Column | None = None) -> None:
@@ -256,6 +382,7 @@ class MemoryStore:
                 F.when(F.col("id").isin(ids), now).otherwise(F.col("expires_at")),
             )
         )
+        self._emit("expire", ids)
 
     def supersede(self, old_id: str, new_id: str, now: F.Column | None = None) -> None:
         now = now if now is not None else F.current_timestamp()
@@ -272,6 +399,7 @@ class MemoryStore:
                 F.when(F.col("id") == old_id, now).otherwise(F.col("expires_at")),
             )
         )
+        self._emit("supersede", [old_id], {"new_id": new_id})
 
     def run_decay(self, now: F.Column | None = None,
                   summary_h: float = 24.0, keywords_h: float = 168.0,
@@ -293,6 +421,11 @@ class MemoryStore:
             .drop("new_level")
         )
         self._publish(kept)
+        if self._handlers:
+            self._emit(
+                "decay",
+                [r["id"] for r in events.select("id").collect()],
+            )
         return events
 
     def stats(self) -> DataFrame:

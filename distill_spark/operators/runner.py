@@ -1,0 +1,170 @@
+"""Chained pipeline runner: dedup -> compress -> summarize in one call
+with per-stage token/latency stats.
+
+Reference: /root/reference/pkg/pipeline/pipeline.go:73-204 — each stage
+independently toggleable; StageStats {enabled, input_tokens,
+output_tokens, reduction 0-1, latency} per stage plus overall
+{original_tokens, final_tokens, total_reduction, total_latency}
+(pipeline.go:16-31). Token estimate = (non-whitespace chars + 3)/4 per
+chunk (pipeline.go:178-190); reduction clamps at 0 (pipeline.go:193-203).
+
+Spark shape: each enabled stage materializes once (persist + a single
+aggregate action that doubles as the stage timer); stage N's output
+token count is reused as stage N+1's input count, so the whole run
+costs one action per enabled stage plus the final one.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig, DEFAULT
+from .budget import est_tokens_col, enforce_token_budget
+from .pipeline import dedupe
+from .rerank import mmr_rerank
+
+
+@dataclass
+class PipelineOptions:
+    """Mirrors pipeline.go Options/DefaultOptions (:34-66)."""
+
+    dedup_enabled: bool = True
+    dedup_target_k: int = 0          # 0 = no MMR cut after selection
+    dedup_lambda: float = 0.7
+    compress_enabled: bool = True
+    compress_target_reduction: float = 0.5  # compress to this token ratio
+    summarize_enabled: bool = False  # opt-in (needs seq order), like reference
+    summarize_max_tokens: int = 4000
+    summarize_recent: int = 10
+    dedup_cfg: DedupConfig = field(default_factory=DedupConfig)
+
+
+@dataclass
+class PipelineRunResult:
+    output: DataFrame               # (id, text) after all enabled stages
+    stats: DataFrame                # one row per stage + 'total'
+
+
+def _sum_tokens(df: DataFrame, text_col: str) -> int:
+    row = df.agg(F.sum(est_tokens_col(text_col)).alias("t")).collect()[0]
+    return int(row["t"] or 0)
+
+
+def _reduction(inp: int, out: int) -> float:
+    if inp == 0:
+        return 0.0
+    return max((inp - out) / inp, 0.0)
+
+
+def run_pipeline(
+    df: DataFrame,
+    opts: PipelineOptions | None = None,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+    seq_col: str | None = None,
+) -> PipelineRunResult:
+    """Run dedup -> compress -> summarize over (id, text[, seq]) rows."""
+    opts = opts or PipelineOptions()
+    spark = df.sparkSession
+    t_start = time.time()
+
+    current = df.select(id_col, text_col, *([seq_col] if seq_col else []))
+    original_tokens = _sum_tokens(current, text_col)
+    stage_rows: list[tuple] = []
+    tokens_in = original_tokens
+
+    # -- stage 1: dedup ----------------------------------------------------
+    if opts.dedup_enabled:
+        t0 = time.time()
+        res = dedupe(
+            current, opts.dedup_cfg, id_col=id_col, caption_col=text_col,
+            phash_col=None, channels=("minhash", "simhash", "substring"),
+        )
+        kept = res.representatives.select(id_col, text_col, *([seq_col] if seq_col else []))
+        if opts.dedup_target_k > 0:
+            reps = kept.withColumn("_score", F.length(text_col).cast("double"))
+            n_reps = reps.count()
+            if n_reps > opts.dedup_target_k:
+                ranked = mmr_rerank(
+                    reps, k=opts.dedup_target_k, lam=opts.dedup_lambda,
+                    id_col=id_col, text_col=text_col, score_col="_score",
+                    cfg=opts.dedup_cfg,
+                )
+                kept = ranked.select(id_col, text_col)
+        current = kept.persist()
+        out_tokens = _sum_tokens(current, text_col)
+        res.unpersist()
+        stage_rows.append(
+            ("dedup", True, tokens_in, out_tokens,
+             _reduction(tokens_in, out_tokens), round(time.time() - t0, 3))
+        )
+        tokens_in = out_tokens
+    else:
+        stage_rows.append(("dedup", False, tokens_in, tokens_in, 0.0, 0.0))
+
+    # -- stage 2: compress ---------------------------------------------------
+    if opts.compress_enabled:
+        from ..functions.compress import extractive_compress
+
+        t0 = time.time()
+        compressed = extractive_compress(
+            current, text_col, "_compressed",
+            target_ratio=opts.compress_target_reduction,
+        )
+        nxt = compressed.select(
+            id_col, F.col("_compressed").alias(text_col),
+            *([seq_col] if seq_col else []),
+        ).persist()
+        out_tokens = _sum_tokens(nxt, text_col)
+        current.unpersist()
+        current = nxt
+        stage_rows.append(
+            ("compress", True, tokens_in, out_tokens,
+             _reduction(tokens_in, out_tokens), round(time.time() - t0, 3))
+        )
+        tokens_in = out_tokens
+    else:
+        stage_rows.append(("compress", False, tokens_in, tokens_in, 0.0, 0.0))
+
+    # -- stage 3: summarize --------------------------------------------------
+    if opts.summarize_enabled:
+        t0 = time.time()
+        seq = seq_col or id_col  # reference uses turn order; id is stable
+        budgeted = enforce_token_budget(
+            current.withColumnRenamed(text_col, "_text"),
+            max_tokens=opts.summarize_max_tokens,
+            seq_col=seq,
+            text_col="_text",
+            preserve_recent=opts.summarize_recent,
+        )
+        nxt = budgeted.select(
+            id_col, F.col("content").alias(text_col),
+            *([seq_col] if seq_col else []),
+        ).persist()
+        out_tokens = _sum_tokens(nxt, text_col)
+        current.unpersist()
+        current = nxt
+        stage_rows.append(
+            ("summarize", True, tokens_in, out_tokens,
+             _reduction(tokens_in, out_tokens), round(time.time() - t0, 3))
+        )
+        tokens_in = out_tokens
+    else:
+        stage_rows.append(("summarize", False, tokens_in, tokens_in, 0.0, 0.0))
+
+    final_tokens = tokens_in
+    stage_rows.append(
+        ("total", True, original_tokens, final_tokens,
+         _reduction(original_tokens, final_tokens),
+         round(time.time() - t_start, 3))
+    )
+    stats = spark.createDataFrame(
+        stage_rows,
+        "stage string, enabled boolean, input_tokens long, output_tokens long, "
+        "reduction double, wall_sec double",
+    )
+    return PipelineRunResult(output=current, stats=stats)

@@ -16,6 +16,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _with_centroid_dist(
+    df: DataFrame, component_col: str, vec_col: str, out: str = "_cdist"
+) -> DataFrame:
+    """Adds cosine distance of each member's vector to its component's
+    element-wise mean centroid (two-level agg, no collect)."""
+    from ..functions.vectors import centroids, cosine_distance
+
+    cent = centroids(df.select(component_col, vec_col), vec_col, component_col)
+    return df.join(cent, component_col).withColumn(
+        out, cosine_distance(F.col(vec_col), F.col("centroid"))
+    ).drop("centroid")
+
+
 def representatives(
     assignments: DataFrame,
     images: DataFrame | None = None,
@@ -24,6 +37,7 @@ def representatives(
     component_col: str = "component",
     score_col: str = "score",
     caption_col: str = "caption",
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """One row per component. Returns (component, image_id[, rank cols])."""
     df = assignments
@@ -36,6 +50,11 @@ def representatives(
         order = [F.col(score_col).desc(), F.col(id_col).asc()]
     elif strategy == "longest":
         order = [F.length(caption_col).desc(), F.col(id_col).asc()]
+    elif strategy == "centroid":
+        # closest-to-centroid (reference selector.go:123-139): requires a
+        # vector column; distance ties break on id
+        df = _with_centroid_dist(df, component_col, vec_col)
+        order = [F.col("_cdist").asc(), F.col(id_col).asc()]
     elif strategy == "hybrid":
         # normalized score + normalized length, equal weights, id tiebreak
         w_all = Window.partitionBy(component_col)
@@ -54,8 +73,48 @@ def representatives(
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_hybrid")
+        .drop("_rn", "_hybrid", "_cdist")
     )
+
+
+def medoid_prune(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "image_id",
+    component_col: str = "component",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within each component keep the medoid (member closest to the
+    centroid; ties on id) plus every member whose cosine DISTANCE from
+    the medoid is >= threshold — i.e. drop only members that are
+    near-dups of the medoid (reference pkg/dedup/kmeans.go:311-351).
+
+    Distributed shape: centroid via two-level agg, medoid via one
+    window, the distance check via a broadcast-sized join of medoid
+    vectors back to members (one medoid row per component)."""
+    scored = _with_centroid_dist(
+        df.select(id_col, component_col, vec_col), component_col, vec_col
+    )
+    w = Window.partitionBy(component_col).orderBy(
+        F.asc("_cdist"), F.asc(id_col)
+    )
+    medoids = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            component_col,
+            F.col(id_col).alias("_medoid_id"),
+            F.col(vec_col).alias("_medoid_vec"),
+        )
+    )
+    from ..functions.vectors import cosine_distance
+
+    joined = df.join(medoids, component_col)
+    kept = joined.filter(
+        (F.col(id_col) == F.col("_medoid_id"))
+        | (cosine_distance(F.col(vec_col), F.col("_medoid_vec")) >= threshold)
+    )
+    return kept.drop("_medoid_id", "_medoid_vec")
 
 
 def cluster_stats(assignments: DataFrame, component_col: str = "component") -> DataFrame:

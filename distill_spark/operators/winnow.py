@@ -124,12 +124,17 @@ def refine_oversized(
                 components no matter the bucket size.
 
     Cost is proportional to oversized-bucket membership only (popular
-    boilerplate fingerprints), ~L - kgram window hashes per occurrence.
+    boilerplate fingerprints), ~L - kgram window hashes per occurrence;
+    members are grouped first so each caption is scanned ONCE for all
+    of its oversized fingerprints.
     """
     K, L, lower = cfg.winnow_kgram, cfg.lcs_min_len, cfg.lowercase
     from pyspark.sql import types as T
 
-    joined = members.join(captions.select(id_col, caption_col), id_col)
+    grouped = members.groupBy(id_col).agg(
+        F.collect_set(F.col(fp_col)).alias("_fps")
+    )
+    joined = grouped.join(captions.select(id_col, caption_col), id_col)
     schema = T.StructType(
         [
             T.StructField(id_col, T.StringType()),
@@ -148,22 +153,18 @@ def refine_oversized(
             oids: list = []
             ofps: list = []
             osub: list = []
-            for rid, fp, cap in zip(pdf[id_col], pdf[fp_col], pdf[caption_col]):
+            for rid, fps, cap in zip(pdf[id_col], pdf["_fps"], pdf[caption_col]):
                 s = cap or ""
                 if lower:
                     s = s.lower()
                 b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
                 if len(b) < K:
                     continue
+                # one k-gram hash pass per caption, shared by all its fps
                 gh = (
                     np.lib.stride_tricks.sliding_window_view(b, K).astype(np.uint64)
                     * pwK
                 ).sum(axis=1)
-                fp_u = np.uint64(fp & 0xFFFFFFFFFFFFFFFF)
-                pos = np.flatnonzero(gh == fp_u)
-                if len(pos) == 0:
-                    continue
-                # char/byte maps (identity for ascii)
                 noncont = (b & 0xC0) != 0x80
                 charidx = np.cumsum(noncont) - 1  # char index of each byte
                 cstart = np.flatnonzero(noncont)  # byte offset of each char
@@ -171,24 +172,35 @@ def refine_oversized(
                 if nchars < L:
                     continue
                 cend = np.append(cstart[1:], len(b))  # byte end of each char
-                subs: set = set()
-                for p in pos:
-                    c0 = int(charidx[p])
-                    c1 = int(charidx[p + K - 1])
-                    lo = max(0, c1 - L + 1)
-                    hi = min(c0, nchars - L)
-                    for st in range(lo, hi + 1):
-                        wb = b[cstart[st] : cend[st + L - 1]]
-                        n = len(wb)
-                        h = (wb[::-1].astype(np.uint64) * asc[:n]).sum()
-                        subs.add(int(h.astype(np.int64)))
-                for h in subs:
-                    oids.append(rid)
-                    ofps.append(fp)
-                    osub.append(h)
-            yield pd.DataFrame({id_col: oids, fp_col: ofps, out: osub})
+                for fp in fps:
+                    fp_u = np.uint64(int(fp) & 0xFFFFFFFFFFFFFFFF)
+                    pos = np.flatnonzero(gh == fp_u)
+                    if len(pos) == 0:
+                        continue
+                    subs: set = set()
+                    for p in pos:
+                        c0 = int(charidx[p])
+                        c1 = int(charidx[p + K - 1])
+                        lo = max(0, c1 - L + 1)
+                        hi = min(c0, nchars - L)
+                        for st in range(lo, hi + 1):
+                            wb = b[cstart[st] : cend[st + L - 1]]
+                            n = len(wb)
+                            h = (wb[::-1].astype(np.uint64) * asc[:n]).sum()
+                            subs.add(int(h.astype(np.int64)))
+                    for h in subs:
+                        oids.append(rid)
+                        ofps.append(int(fp))
+                        osub.append(h)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(oids, dtype="string"),
+                    fp_col: pd.array(ofps, dtype="Int64"),
+                    out: pd.array(osub, dtype="Int64"),
+                }
+            )
 
-    return joined.select(id_col, fp_col, caption_col).mapInPandas(
+    return joined.select(id_col, "_fps", caption_col).mapInPandas(
         batch, schema=schema
     )
 

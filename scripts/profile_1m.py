@@ -1,0 +1,104 @@
+"""Per-stage wall-time breakdown of the dedupe pipeline on the bench
+images table. Usage: python scripts/profile_1m.py [n] [cores]"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from distill_spark.session import get_spark
+from distill_spark.config import DedupConfig
+from distill_spark.operators.signatures import with_signatures
+from distill_spark.operators.minhash import band_buckets
+from distill_spark.operators.lsh import pairs_from_buckets, pairs_and_overflow
+from distill_spark.operators.hamming import hamming_candidate_pairs, verify_hamming
+from distill_spark.operators.winnow import with_fingerprints, refine_oversized
+from distill_spark.operators.verify import verify_jaccard, verify_lcs
+from distill_spark.operators.components import connected_components
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+CORES = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+spark = get_spark("profile", cores=CORES, shuffle_partitions=2 * CORES)
+cfg = DedupConfig()
+
+from bench import ensure_images
+path = ensure_images(spark, N)
+images = spark.read.parquet(path)
+meta = images.select("image_id", "caption", "phash")
+
+t = {}
+
+
+def mark(name, t0):
+    t[name] = round(time.time() - t0, 1)
+    print(f"== {name}: {t[name]}s", flush=True)
+
+
+t0 = time.time()
+sigs = with_signatures(meta, "caption", "image_id", cfg,
+                       parts=("shingles", "minhash", "simhash")).persist()
+sigs.count()
+mark("signatures", t0)
+
+t0 = time.time()
+bb = band_buckets(sigs.filter(F.col("minhash").isNotNull()).select("image_id", "minhash"),
+                  "minhash", "image_id", cfg)
+mh_cand = pairs_from_buckets(bb, ["band", "bucket"], "image_id", cfg).persist()
+print("mh_cand", mh_cand.count())
+mark("minhash_buckets+pairs", t0)
+
+t0 = time.time()
+sh = sigs.filter(F.col("simhash").isNotNull()).select("image_id", "simhash")
+sh_cand = hamming_candidate_pairs(sh, "simhash", cfg.simhash_hamming_k, "image_id", cfg)
+sh_cand = verify_hamming(sh_cand, sh, "simhash", cfg.simhash_hamming_k, "image_id").persist()
+print("sh_cand", sh_cand.count())
+mark("simhash_channel", t0)
+
+t0 = time.time()
+jac = mh_cand.unionByName(sh_cand).dropDuplicates(["a", "b"])
+jedges = verify_jaccard(jac, sigs.select("image_id", "shingles"),
+                        cfg.jaccard_threshold, "shingles", "image_id").persist()
+print("jedges", jedges.count())
+mark("jaccard_verify", t0)
+
+t0 = time.time()
+ph = meta.select("image_id", "phash")
+phc = hamming_candidate_pairs(ph, "phash", cfg.phash_hamming_k, "image_id", cfg)
+phe = verify_hamming(phc, ph, "phash", cfg.phash_hamming_k, "image_id").persist()
+print("phash_edges", phe.count())
+mark("phash_channel", t0)
+
+t0 = time.time()
+fp = with_fingerprints(meta.select("image_id", "caption"), "caption", "fp", cfg,
+                       impl=cfg.winnow_impl)
+fpx = fp.select("image_id", F.explode("fp").alias("fingerprint"))
+small_cand, overflow = pairs_and_overflow(fpx, ["fingerprint"], "image_id", cfg,
+                                          cap=cfg.max_fp_bucket_size)
+refined = refine_oversized(overflow, meta.select("image_id", "caption"), cfg)
+sub_cand = pairs_from_buckets(refined, ["fingerprint", "subfp"], "image_id", cfg,
+                              cap=cfg.max_fp_bucket_size, oversize="star")
+wc = small_cand.unionByName(sub_cand).dropDuplicates(["a", "b"]).persist()
+print("winnow_cand", wc.count())
+mark("winnow_candidates", t0)
+
+t0 = time.time()
+ledges = verify_lcs(wc, meta.select("image_id", "caption"), cfg, "caption",
+                    "image_id", impl=cfg.lcs_impl).persist()
+print("ledges", ledges.count())
+mark("lcs_verify", t0)
+
+t0 = time.time()
+edges = jedges.unionByName(phe).unionByName(ledges).dropDuplicates(["a", "b"]).persist()
+print("edges", edges.count())
+mark("edge_union", t0)
+
+t0 = time.time()
+assign = connected_components(edges, nodes=meta.select("image_id"),
+                              id_col="image_id", cfg=cfg)
+print("assign", assign.count())
+mark("connected_components", t0)
+
+print("TOTALS", t, "sum", round(sum(t.values()), 1))

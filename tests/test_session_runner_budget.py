@@ -1,0 +1,306 @@
+"""SessionStore / pipeline runner / budget-enforcement tests.
+
+Mirrors the reference invariants:
+  session push dedup + seq           pkg/session/sqlite.go:151-266
+  budget escalation order            sqlite.go:484-581 (importance ASC,
+                                     one level per pass, loop)
+  preserve-recent exemption          sqlite.go:497-507
+  eviction as last resort            sqlite.go:560-575
+  pipeline stage stats               pkg/pipeline/pipeline.go:73-204,
+                                     pipeline_test.go invariants
+  summarize budget closed form       pkg/summarize/hierarchy.go:121-186
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from distill_spark.functions.compress import summarize_at_level
+from distill_spark.operators.budget import (
+    enforce_token_budget,
+    _est_tokens_py,
+    DEFAULT_AGE_LEVELS,
+)
+from distill_spark.operators.runner import run_pipeline, PipelineOptions
+from distill_spark.session_store import SessionStore, est_tokens
+
+
+LONG = (
+    "First sentence has the numbers 12 and 34 in it. Second sentence is a "
+    "bit longer and carries more of the meaning forward. Third sentence "
+    "closes the paragraph with detail. Fourth adds trailing context."
+)
+
+
+# ---------------------------------------------------------------- budget op
+
+
+def _ref_budget_levels(rows, max_tokens, preserve_recent,
+                       imp_thr=0.7, age_levels=DEFAULT_AGE_LEVELS):
+    """Literal python replication of the reference's sequential loop
+    (hierarchy.go:61-186) — the oracle for the window closed form."""
+    n = len(rows)
+    cutoff = n - preserve_recent if preserve_recent > 0 else n
+    state = []
+    for i, r in enumerate(rows):
+        if preserve_recent > 0 and i >= cutoff:
+            state.append(0)
+            continue
+        maxl = 0
+        for after, lvl in age_levels:
+            if r["age_h"] >= after:
+                maxl = lvl
+        if r["imp"] >= imp_thr and maxl > 1:
+            maxl = 1
+        state.append(maxl)
+
+    def tok(r, lvl):
+        if lvl >= 4:
+            return 0
+        return _est_tokens_py(summarize_at_level(r["text"], lvl))
+
+    total = sum(tok(r, l) for r, l in zip(rows, state))
+    if max_tokens > 0 and total > max_tokens:
+        for L in range(1, 5):
+            for i, r in enumerate(rows):
+                if preserve_recent > 0 and i >= cutoff:
+                    break
+                if state[i] >= L:
+                    continue
+                if r["imp"] >= imp_thr and L > 1:
+                    continue
+                before = tok(r, state[i])
+                state[i] = L
+                total -= before - tok(r, L)
+                if total <= max_tokens:
+                    break
+            if total <= max_tokens:
+                break
+    return state
+
+
+@pytest.mark.parametrize("seed,budget,recent", [(1, 200, 3), (2, 80, 0),
+                                                (3, 10_000, 5), (4, 5, 2)])
+def test_enforce_token_budget_matches_sequential_reference(spark, seed, budget, recent):
+    rng = random.Random(seed)
+    words = ["alpha", "beta", "gamma", "delta", "keyword", "numbers", "12"]
+    rows = []
+    for i in range(25):
+        sent = []
+        for _ in range(rng.randint(1, 4)):
+            sent.append(" ".join(rng.choice(words) for _ in range(rng.randint(3, 12))) + ".")
+        rows.append({
+            "seq": i,
+            "text": " ".join(sent),
+            "imp": rng.choice([0.2, 0.5, 0.9]),
+            "age_h": rng.choice([0.1, 1.0, 5.0, 100.0]),
+        })
+    df = spark.createDataFrame(
+        [(r["seq"], r["text"], r["imp"], r["age_h"]) for r in rows],
+        "seq long, text string, imp double, age_h double",
+    )
+    out = enforce_token_budget(
+        df, max_tokens=budget, seq_col="seq", text_col="text",
+        importance_col="imp", age_hours_col="age_h", preserve_recent=recent,
+    )
+    got = {r["seq"]: (r["level"], r["tokens"], r["content"])
+           for r in out.collect()}
+    want_levels = _ref_budget_levels(rows, budget, recent)
+    for r, wl in zip(rows, want_levels):
+        gl, gt, gc = got[r["seq"]]
+        assert gl == wl, f"seq {r['seq']}: level {gl} != ref {wl}"
+        want_text = "" if wl >= 4 else (
+            r["text"] if wl == 0 else summarize_at_level(r["text"], wl))
+        assert gc == want_text
+        assert gt == _est_tokens_py(want_text)
+
+
+# ---------------------------------------------------------------- runner
+
+
+def test_run_pipeline_stats_contract(spark):
+    rng = random.Random(7)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+
+    def sent(n):  # fully distinct sentences: no >=24-char common runs
+        return " ".join(
+            "".join(rng.choice(letters) for _ in range(rng.randint(4, 9)))
+            for _ in range(n)
+        ) + "."
+
+    rows = [(f"c{i:03d}", sent(30)) for i in range(12)]
+    rows += [("d0001", rows[0][1]), ("d0002", rows[1][1])]  # exact dups
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+    res = run_pipeline(df, PipelineOptions(summarize_enabled=False))
+    stats = {r["stage"]: r for r in res.stats.collect()}
+    assert set(stats) == {"dedup", "compress", "summarize", "total"}
+    d, c, t = stats["dedup"], stats["compress"], stats["total"]
+    assert d["enabled"] and c["enabled"] and not stats["summarize"]["enabled"]
+    # dedup removed the two exact copies -> tokens strictly drop
+    assert d["output_tokens"] < d["input_tokens"]
+    # stage chaining: output of stage N == input of stage N+1
+    assert c["input_tokens"] == d["output_tokens"]
+    assert 0.0 <= d["reduction"] <= 1.0 and 0.0 <= t["reduction"] <= 1.0
+    assert t["input_tokens"] == d["input_tokens"]
+    assert t["output_tokens"] == c["output_tokens"]
+    assert res.output.count() == 12
+
+
+def test_run_pipeline_disabled_stages_are_identity(spark):
+    df = spark.createDataFrame(
+        [("a", LONG), ("b", LONG + " x")], "image_id string, caption string"
+    )
+    res = run_pipeline(
+        df, PipelineOptions(dedup_enabled=False, compress_enabled=False,
+                            summarize_enabled=False),
+    )
+    stats = {r["stage"]: r for r in res.stats.collect()}
+    for s in ("dedup", "compress", "summarize"):
+        assert stats[s]["input_tokens"] == stats[s]["output_tokens"]
+        assert stats[s]["reduction"] == 0.0
+    assert stats["total"]["reduction"] == 0.0
+    assert res.output.count() == 2
+
+
+# ------------------------------------------------------------ session store
+
+
+@pytest.fixture()
+def sess_store(spark, tmp_path):
+    return SessionStore(spark, str(tmp_path / "sess"))
+
+
+def test_push_dedup_exact_and_chain(spark, sess_store):
+    sid = sess_store.create("s1", max_tokens=100_000, preserve_recent=0)
+    base = LONG + " zero"
+    r1 = sess_store.push(sid, [{"content": base}])
+    assert (r1.accepted, r1.deduplicated) == (1, 0)
+    # exact copy rejected; novel accepted; copy-of-novel rejected
+    r2 = sess_store.push(sid, [
+        {"content": base},
+        {"content": "completely different text about spark shuffles and joins."},
+        {"content": "completely different text about spark shuffles and joins."},
+    ])
+    assert (r2.accepted, r2.deduplicated) == (1, 2)
+    entries = sess_store.entries(sid).orderBy("seq").collect()
+    assert [e["seq"] for e in entries] == [1, 2]
+    assert entries[0]["content_hash"] != entries[1]["content_hash"]
+
+
+def _distinct_texts(n, seed=13, sentences=4, words=10):
+    rng = random.Random(seed)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    out = []
+    for _ in range(n):
+        sents = []
+        for _ in range(sentences):
+            sents.append(
+                " ".join(
+                    "".join(rng.choice(letters) for _ in range(rng.randint(4, 9)))
+                    for _ in range(words)
+                )
+                + "."
+            )
+        out.append(" ".join(sents))
+    return out
+
+
+def test_push_budget_escalates_low_importance_oldest_first(spark, sess_store):
+    texts = _distinct_texts(8)
+    budget = sum(est_tokens(t) for t in texts[:6])
+    sid = sess_store.create("s2", max_tokens=budget, preserve_recent=2)
+    res = sess_store.push(
+        sid,
+        [{"content": t, "importance": 0.2 if i < 4 else 0.9}
+         for i, t in enumerate(texts)],
+    )
+    assert res.accepted == 8
+    assert res.compressed > 0
+    assert res.current_tokens <= budget
+    rows = {r["seq"]: r for r in sess_store.entries(sid).collect()}
+    # recent two untouched
+    assert rows[7]["compression_level"] == 0
+    assert rows[8]["compression_level"] == 0
+    # low-importance older entries compressed before high-importance ones
+    low = [rows[s]["compression_level"] for s in (1, 2, 3, 4)]
+    high = [rows[s]["compression_level"] for s in (5, 6)]
+    assert max(low) >= max(high)
+
+
+def test_push_eviction_when_recent_only(spark, sess_store):
+    texts = _distinct_texts(3, seed=29)
+    budget = est_tokens(texts[0]) + 5
+    sid = sess_store.create("s3", max_tokens=budget, preserve_recent=10)
+    res = sess_store.push(sid, [{"content": t} for t in texts])
+    # all three are "recent" but over budget -> evictOldest fallback
+    assert res.evicted >= 1
+    assert res.current_tokens <= budget
+
+
+def test_context_take_while_and_stats(spark, sess_store):
+    texts = _distinct_texts(5, seed=31)
+    sid = sess_store.create("s4", max_tokens=100_000, preserve_recent=0)
+    sess_store.push(sid, [{"role": "user", "content": t} for t in texts])
+    full, stats = sess_store.context(sid)
+    assert stats["total_entries"] == 5
+    budget = est_tokens(texts[0]) * 2 + est_tokens(texts[1])
+    part, pstats = sess_store.context(sid, max_tokens=budget)
+    seqs = [r["seq"] for r in part.collect()]
+    assert seqs == sorted(seqs) and len(seqs) < 5
+    assert pstats["total_tokens"] <= budget
+    assert sess_store.delete(sid) == 5
+
+
+def test_cache_boundary_advances_with_stability(spark, sess_store):
+    """Entries become stable after surviving MIN_STABLE_TURNS pushes;
+    the boundary advances past the 1024-token prefix floor
+    (cache_boundary.go:91-270)."""
+    big = " ".join(f"token{i} filler words here" for i in range(1200))  # >1024 tok
+    sid = sess_store.create("s5", max_tokens=1_000_000, preserve_recent=0)
+    r1 = sess_store.push(sid, [{"content": big}])
+    assert r1.cache_boundary["total_stable_tokens"] == 0
+    r2 = sess_store.push(sid, [{"content": "short novel update two."}])
+    assert r2.cache_boundary["total_stable_tokens"] == 0  # not yet stable
+    r3 = sess_store.push(sid, [{"content": "short novel update three."}])
+    b = r3.cache_boundary
+    assert b["total_stable_tokens"] >= 1024 and b["advanced"]
+    assert b["markers"] and b["markers"][0]["stable_since_turn"] == 1
+
+
+# --------------------------------------------------------- memory intra-batch
+
+
+def test_memory_store_intra_batch_dedup(spark, tmp_path):
+    from distill_spark.memory import MemoryStore
+
+    store = MemoryStore(spark, str(tmp_path / "mem"))
+    a = LONG + " one"
+    b = "an unrelated memory about connected components and hash joins."
+    batch = spark.createDataFrame(
+        [("x1", a), ("x2", a), ("x3", b)], "id string, text string"
+    )
+    res = store.store_batch(batch)
+    stored_ids = {r["id"] for r in res.stored.select("id").collect()}
+    assert stored_ids == {"x1", "x3"}, "intra-batch exact dup must collapse"
+    dups = {(r["new_id"], r["existing_id"]) for r in res.duplicates.collect()}
+    assert ("x2", "x1") in dups
+    # signatures persisted with rows
+    snap = store.snapshot()
+    assert "minhash" in snap.columns
+    assert snap.filter(F.col("minhash").isNull()).count() == 0
+    # second batch of copies dedupes against the store without recompute
+    batch2 = spark.createDataFrame([("y1", a)], "id string, text string")
+    res2 = store.store_batch(batch2)
+    assert res2.stored.count() == 0
+    # recall() must not recompute store signatures: the only Python
+    # (mapInPandas) stage in its plan is the 1-row query signature
+    plan = store.recall("unrelated memory components", k=3)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") <= 1, plan
+    # lifecycle events fire
+    seen = []
+    store.on_lifecycle_event(seen.append)
+    store.expire(["x1"])
+    assert seen and seen[0]["type"] == "expire" and seen[0]["ids"] == ["x1"]
+    # conflict log persists across instances
+    assert "new_id" in store.conflicts().columns

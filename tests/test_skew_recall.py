@@ -71,7 +71,10 @@ def test_winnow_oversized_bucket_nondup_hub(spark):
     boilerplate with everyone (NOT a genuine >=24-char dup), while a
     planted pair deep in the bucket shares 40+ chars. The pair must end
     up in one component, and no false merges through the boilerplate."""
-    boiler = "lorem boiler"  # 12 chars == winnow_kgram -> one shared kgram
+    cfg0 = DedupConfig()
+    # boiler of exactly winnow_kgram chars -> every row shares that one
+    # k-gram (and nothing longer), flooding a single fingerprint bucket
+    boiler = ("lorem boilerplate xyz" * 3)[: cfg0.winnow_kgram]
     rng = random.Random(5)
 
     def noise(n):

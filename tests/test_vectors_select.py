@@ -1,0 +1,148 @@
+"""Banded hyperplane LSH recall, centroid/medoid selection strategies,
+and streaming intra-batch dedup.
+
+Reference anchors: selector.go:123-139 (closest-to-centroid),
+kmeans.go:311-351 (medoid prune), the author's ANN TODO
+(pkg/memory/sqlite.go:243)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from distill_spark.config import DedupConfig
+from distill_spark.functions.vectors import (
+    embedding_dup_pairs_lsh,
+    embedding_near_dup_pairs,
+)
+from distill_spark.operators.select import representatives, medoid_prune
+
+DIM = 32
+
+
+def _vecs(spark, n=300, seed=9, planted_every=10):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, DIM)).astype(np.float32)
+    rows = [(f"v{i:04d}", base[i].tolist()) for i in range(n)]
+    for i in range(0, n, planted_every):
+        v = base[i] + rng.standard_normal(DIM).astype(np.float32) * 0.02
+        rows.append((f"w{i:04d}", v.tolist()))
+    return spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+
+
+def test_banded_hyperplane_lsh_recall_vs_exact(spark):
+    df = _vecs(spark).cache()
+    df.count()
+    exact = {
+        (r["a"], r["b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    approx = {
+        (r["a"], r["b"])
+        for r in embedding_dup_pairs_lsh(df, threshold=0.95, dim=DIM).collect()
+    }
+    assert exact, "fixture must plant dup pairs"
+    assert approx <= exact, "verify stage must make precision exact"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.99, f"banded LSH recall {recall:.4f} < 0.99"
+    df.unpersist()
+
+
+def test_centroid_strategy_and_medoid_prune(spark):
+    # two components with known geometry
+    rows = [
+        # component A around e1; a2 is exactly the mean direction -> rep
+        ("a1", "A", [1.0, 0.2, 0.0]),
+        ("a2", "A", [1.0, 0.0, 0.0]),
+        ("a3", "A", [1.0, -0.2, 0.0]),
+        # component B: b1 medoid-ish, b2 near-dup of b1, b3 far
+        ("b1", "B", [0.0, 1.0, 0.1]),
+        ("b2", "B", [0.0, 1.0, 0.12]),
+        ("b3", "B", [0.0, 0.2, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        [(i, c, [float(x) for x in v]) for i, c, v in rows],
+        "image_id string, component string, embedding array<float>",
+    )
+    reps = representatives(df, strategy="centroid")
+    got = {r["component"]: r["image_id"] for r in reps.collect()}
+    assert got["A"] == "a2"
+
+    kept = medoid_prune(df, threshold=0.05)
+    ids = {r["image_id"] for r in kept.collect()}
+    # component A: all within 0.05 of medoid? a1/a3 at cos dist ~0.019 -> pruned
+    assert "a2" in ids and "a1" not in ids and "a3" not in ids
+    # component B: medoid is b2 (closest to centroid); b1 is its near-dup
+    # (pruned), b3 is far (kept)
+    assert ("b2" in ids) and ("b1" not in ids) and ("b3" in ids)
+
+
+def test_kmeans_dedupe_prunes_planted_near_dups(spark):
+    """kmeans coarse partition + medoid prune (kmeans.go:80-118):
+    planted eps-perturbed near-dups collapse; distant vectors survive."""
+    from distill_spark.operators.kmeans import kmeans_dedupe, kmeans_partition
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((120, DIM)).astype(np.float32)
+    rows = [(f"v{i:03d}", base[i].tolist()) for i in range(120)]
+    # a tight bundle: 20 near-copies of one direction. It dominates its
+    # k-means cluster, so the medoid lands inside the bundle and the
+    # reference prune rule (drop members within `threshold` of the
+    # MEDOID — kmeans.go:331-351 — NOT pairwise transitive dedup)
+    # collapses the bundle to ~the medoid.
+    bundle_dir = base[0]
+    rows += [
+        (f"w{i:03d}",
+         (bundle_dir + rng.standard_normal(DIM).astype(np.float32) * 0.01).tolist())
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    kept = kmeans_dedupe(df, threshold=0.05, k=6, seed=7)
+    ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    bundle_kept = sum(1 for i in range(20) if f"w{i:03d}" in ids)
+    bundle_kept += 1 if "v000" in ids else 0
+    assert bundle_kept <= 3, f"bundle not pruned: {bundle_kept} of 21 kept"
+    # vectors far from every medoid survive
+    assert sum(1 for i in range(1, 120) if f"v{i:03d}" in ids) >= 110
+    # determinism across partitioning
+    a1, _ = kmeans_partition(df, k=6, seed=7)
+    a2, _ = kmeans_partition(df.repartition(5), k=6, seed=7)
+    assert {tuple(r) for r in a1.collect()} == {tuple(r) for r in a2.collect()}
+
+
+def test_streaming_intra_batch_dedup_and_atomic_replay(spark, tmp_path):
+    from distill_spark.streaming.ingest import DedupeState, incremental_dedupe_batch
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi "
+        "omicron pi rho sigma tau upsilon phi chi psi omega aleph bet gimel dalet"
+    )
+    state = DedupeState(spark, str(tmp_path / "st"), DedupConfig())
+    b = spark.createDataFrame(
+        [
+            ("i1", base),
+            ("i2", base.replace("theta", "thetax")),  # near-dup of i1, same batch
+            ("i3", "fully distinct caption with its own unusual vocabulary set"),
+        ],
+        "image_id string, caption string",
+    )
+    m = incremental_dedupe_batch(state, b, 0)
+    assert m["duplicates"] == 1 and m["novel"] == 2
+    assign = {r["image_id"]: r["component"] for r in state.assignments().collect()}
+    assert assign == {"i1": "i1", "i2": "i1", "i3": "i3"}
+    # state holds signatures only for accepted rows
+    assert state.signatures().count() == 2
+
+    # partial publish (no marker) must roll back cleanly on replay
+    state._rollback_batch(99)
+    sigs = state.signatures().limit(1)
+    state._publish_batch(99, sigs, state.assignments().limit(1))
+    assert 99 not in state.committed_batches()
+    b2 = spark.createDataFrame(
+        [("j1", "another novel caption entirely for batch ninety nine")],
+        "image_id string, caption string",
+    )
+    m99 = incremental_dedupe_batch(state, b2, 99)
+    assert m99["status"] == "complete" and m99["novel"] == 1
+    assert state.assignments().filter(F.col("image_id") == "j1").count() == 1
+    # exactly one j1 row: the partial publish was rolled back, not doubled
+    assert state.assignments().count() == 4
