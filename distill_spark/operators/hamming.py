@@ -98,10 +98,7 @@ def _refined_value_pairs(
     """vals(val: long, distinct) -> VERIFIED value pairs (va < vb,
     bit_count(va^vb) <= k) with guaranteed recall. Lazy plan — no driver
     actions; refinement levels that converge early flow empty partitions
-    through near-zero-cost stages. Bucket sizing uses the counts-first
-    rare-key filter (lsh._sized_multi_buckets rationale): the wide
-    (val, key, rv) table is never exchanged when the colliding-key set
-    broadcasts.
+    through near-zero-cost stages.
 
     The exact Hamming filter runs INSIDE the pair expansion, in the same
     whole-stage-codegen task that explodes the bucket array: a 13-bit
@@ -109,6 +106,8 @@ def _refined_value_pairs(
     colliding pairs, and shipping those through a shuffle before
     verification dominated the channel (~420 s at 1M rows); filtering
     at generation cuts the shuffled volume to the true-pair count."""
+    from pyspark.sql import Window
+
     nb = k + 1
     pend = vals.select(
         "val",
@@ -125,6 +124,7 @@ def _refined_value_pairs(
         """
     )
     level_pairs: list[DataFrame] = []
+    w = Window.partitionBy("key")
     for _level in range(max_levels):
         ex = pend.select("val", "key", "rv", "nbits", F.explode(blocks).alias("s"))
         ex = ex.select(
@@ -146,9 +146,8 @@ def _refined_value_pairs(
             ).alias("rv"),
             (F.col("nbits") - F.col("s.w")).alias("nbits"),
         )
-        counts = ex.groupBy("key").agg(F.count(F.lit(1)).alias("_sz"))
-        sized = ex.join(counts.filter(F.col("_sz") >= 2), "key")
-        small = sized.filter(F.col("_sz") <= cap)
+        sized = ex.withColumn("_sz", F.count(F.lit(1)).over(w))
+        small = sized.filter((F.col("_sz") >= 2) & (F.col("_sz") <= cap))
         grouped = small.groupBy("key").agg(
             F.sort_array(F.collect_list("val")).alias("_ids")
         )

@@ -38,7 +38,7 @@ metrics ledger for monitoring.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import DedupConfig, DEFAULT
@@ -96,8 +96,11 @@ def pairs_from_buckets(
             "p.a", "p.b"
         )
     else:
-        sized = _sized_multi_buckets(buckets, key_cols, id_col)
-        small = sized.filter(F.col("_sz") <= cap)
+        w = Window.partitionBy(*key_cols)
+        sized = buckets.withColumn("_sz", F.count(F.lit(1)).over(w)).withColumn(
+            "_min", F.min(F.col(id_col)).over(w)
+        )
+        small = sized.filter((F.col("_sz") >= 2) & (F.col("_sz") <= cap))
         grouped = small.groupBy(*key_cols).agg(
             F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
         )
@@ -113,26 +116,6 @@ def pairs_from_buckets(
     if cfg.salt_partitions:
         pairs = pairs.repartition(cfg.salt_partitions, "a", "b")
     return pairs.dropDuplicates(["a", "b"])
-
-
-def _sized_multi_buckets(
-    buckets: DataFrame, key_cols: list[str], id_col: str
-) -> DataFrame:
-    """Bucket rows of MULTI-member buckets, annotated with (_sz, _min).
-
-    Counts-first rare-key filter (memory-bandwidth shaping for the 16+
-    thread regime, BENCH.md): most bucket keys are singletons, so
-    instead of exchanging the FULL wide bucket table for a window pass,
-    we exchange a map-side-combined (key, count, min) aggregate and join
-    it back — AQE turns the join into a broadcast when the multi-member
-    key set is small (the common case), so the wide table is never
-    shuffled at all; adversarial all-hot-key data falls back to a
-    sort-merge join, which costs what the window did."""
-    counts = buckets.groupBy(*key_cols).agg(
-        F.count(F.lit(1)).alias("_sz"), F.min(F.col(id_col)).alias("_min")
-    )
-    multi = counts.filter(F.col("_sz") >= 2)
-    return buckets.join(multi, key_cols)
 
 
 def pairs_and_overflow(
@@ -151,8 +134,9 @@ def pairs_and_overflow(
     """
     if cap is None:
         cap = cfg.max_bucket_size
-    sized = _sized_multi_buckets(buckets, key_cols, id_col)
-    small = sized.filter(F.col("_sz") <= cap)
+    w = Window.partitionBy(*key_cols)
+    sized = buckets.withColumn("_sz", F.count(F.lit(1)).over(w))
+    small = sized.filter((F.col("_sz") >= 2) & (F.col("_sz") <= cap))
     grouped = small.groupBy(*key_cols).agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
     )
@@ -161,7 +145,7 @@ def pairs_and_overflow(
         .select("p.a", "p.b")
         .dropDuplicates(["a", "b"])
     )
-    overflow = sized.filter(F.col("_sz") > cap).drop("_sz", "_min")
+    overflow = sized.filter(F.col("_sz") > cap).drop("_sz")
     return pairs, overflow
 
 
