@@ -744,6 +744,24 @@ def q_session_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "tokens")
 
 
+def q_kmeans_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means coarse partition + medoid prune over embeddings with a
+    planted near-copy of every 10th vector (reference `analyze` path,
+    kmeans.go:80-118; rows-only — iterative clustering)."""
+    from distill_spark.operators.kmeans import kmeans_dedupe
+
+    em = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    near = em.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.001)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = em.unionByName(near)
+    kept = kmeans_dedupe(corpus, threshold=0.05, k=16, seed=7)
+    return kept.select("vec_id")
+
+
 def q_cache_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cache pattern classifier + cache_control annotation policy
     (reference pkg/cache/patterns.go:96-290): pattern types planted by
@@ -811,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "churn_hotspots": q_churn_hotspots,
         "session_budget": q_session_budget,
         "cache_annotations": q_cache_annotations,
+        "kmeans_unique": q_kmeans_unique,
         "graph_degrees": q_graph_degrees,
         "graph_blast_radius": q_graph_blast_radius,
         "commit_patterns": q_commit_patterns,
@@ -1168,9 +1187,10 @@ def oracle_sql() -> dict[str, str]:
         "hierarchical_summaries": _hierarchical_summaries_sql(),
         "cache_annotations": _cache_annotations_sql(),
         # image_brightness / image_stats / extractive_compress / mmr_rerank /
-        # structured_compress / session_budget: non-SQL-expressible (PCG64
-        # pixel payloads, skip-and-continue greedy knapsack, structural JSON
-        # walker, stateful session escalation) -> rows-only checks.
+        # structured_compress / session_budget / kmeans_unique:
+        # non-SQL-expressible (PCG64 pixel payloads, skip-and-continue greedy
+        # knapsack, structural JSON walker, stateful session escalation,
+        # iterative clustering) -> rows-only checks.
     }
 
 
