@@ -1,0 +1,270 @@
+"""Cache-aware frozen prefix, TTL tracking, and prefix-stability
+validation — the serving-path cache suite.
+
+Reference: /root/reference/pkg/cache/
+  prefix.go:16-111    PartitionForCacheAwareDedup — freeze everything up
+                      to and including the LAST cache_control-marked
+                      chunk; dedup only the suffix; stable prefix hash
+                      (sha-256 over null-joined texts, 16 hex chars) +
+                      token estimate (len+3)/4
+  ttl.go:15-188       TTLTracker — touch/refresh semantics against the
+                      provider's 5-minute cache TTL; deadline scheduling
+                      with a safety margin; expired-entry sweep; stats
+  stability.go:13-282 StabilityValidator — per-call-site prefix hash
+                      history, warmup, stability rate vs threshold,
+                      dynamic-pattern diagnosis (request ids, timestamps,
+                      uuids ... embedded in a supposedly-stable prefix)
+
+Shape notes: the PARTITION is a DataFrame op (the dedup engine input is
+a DataFrame; the frozen prefix must be excluded from the pipeline and
+re-attached unchanged). TTL tracking and stability records are
+driver-side control state over a handful of call sites / prefixes —
+deliberately plain Python, like the ledger side of checkpoint.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cache_patterns import token_estimate
+
+DEFAULT_TTL_SECONDS = 300.0  # provider cache TTL (5 minutes)
+
+DYNAMIC_PATTERNS = [
+    "request_id", "requestid", "request-id", "request id",
+    "timestamp", "datetime", "time.now", "date.now",
+    "uuid", "random", "rand.",
+    "user_id", "userid", "user-id",
+    "session_id", "sessionid",
+    "nonce", "token:",
+]
+
+
+@dataclass
+class PrefixPartition:
+    prefix: DataFrame
+    suffix: DataFrame
+    prefix_hash: str
+    frozen_prefix_tokens: int
+    marker_count: int
+
+
+def partition_for_cache_aware_dedup(
+    df: DataFrame,
+    seq_col: str = "seq",
+    text_col: str = "text",
+    marker_col: str = "cache_marker",
+) -> PrefixPartition:
+    """Split rows into a frozen prefix (everything up to and including
+    the LAST cache_control-marked row, in seq order) and the
+    dedup-eligible suffix (prefix.go:40-70). Run dedupe on `.suffix`
+    only, then re-attach `.prefix` unchanged.
+
+    The prefix hash/token count are computed from the (bounded,
+    context-window-sized) prefix rows; the suffix is never collected."""
+    agg = df.agg(
+        F.max(F.when(F.col(marker_col), F.col(seq_col))).alias("last_marker"),
+        F.sum(F.col(marker_col).cast("long")).alias("n_markers"),
+    ).collect()[0]
+    last_marker, n_markers = agg["last_marker"], int(agg["n_markers"] or 0)
+    if last_marker is None:
+        return PrefixPartition(
+            prefix=df.limit(0), suffix=df, prefix_hash="",
+            frozen_prefix_tokens=0, marker_count=0,
+        )
+    prefix = df.filter(F.col(seq_col) <= last_marker)
+    suffix = df.filter(F.col(seq_col) > last_marker)
+    rows = prefix.select(seq_col, text_col).orderBy(seq_col).collect()
+    h = hashlib.sha256()
+    total = 0
+    for r in rows:
+        t = r[text_col] or ""
+        h.update(t.encode("utf-8"))
+        h.update(b"\x00")
+        total += (len(t) + 3) // 4
+    return PrefixPartition(
+        prefix=prefix, suffix=suffix, prefix_hash=h.hexdigest()[:16],
+        frozen_prefix_tokens=total, marker_count=n_markers,
+    )
+
+
+def dedupe_cache_aware(
+    df: DataFrame,
+    cfg=None,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+    seq_col: str = "seq",
+    marker_col: str = "cache_marker",
+    channels: tuple[str, ...] = ("minhash", "simhash", "substring"),
+):
+    """Cache-aware dedup (the reference's documented caller contract,
+    prefix.go:36-39): frozen prefix rows pass through with
+    component == their own id; the suffix runs the full pipeline.
+    Returns (assignments, partition)."""
+    from ..config import DedupConfig
+    from ..operators.pipeline import dedupe
+
+    part = partition_for_cache_aware_dedup(df, seq_col, text_col, marker_col)
+    res = dedupe(part.suffix, cfg or DedupConfig(), id_col=id_col,
+                 caption_col=text_col, phash_col=None, channels=channels)
+    frozen = part.prefix.select(
+        F.col(id_col), F.col(id_col).alias("component")
+    )
+    return frozen.unionByName(res.assignments), part
+
+
+# ---------------------------------------------------------------- TTL
+
+
+@dataclass
+class TTLEntry:
+    prefix_hash: str
+    created_at: float
+    last_touched: float
+    touch_count: int = 1
+
+    def is_alive(self, ttl: float, now: float | None = None) -> bool:
+        return ((now or time.time()) - self.last_touched) < ttl
+
+
+class TTLTracker:
+    """Provider-cache TTL bookkeeping (ttl.go:36-188). Touching an alive
+    entry refreshes its window; touching an expired/unknown one starts a
+    new window (and reports the cache miss)."""
+
+    def __init__(self, ttl_seconds: float = DEFAULT_TTL_SECONDS,
+                 clock=time.time):
+        self.ttl = ttl_seconds
+        self._clock = clock
+        self._entries: dict[str, TTLEntry] = {}
+
+    def touch(self, prefix_hash: str) -> bool:
+        """-> was_alive (refresh hit vs new/expired window)."""
+        now = self._clock()
+        e = self._entries.get(prefix_hash)
+        if e is not None and e.is_alive(self.ttl, now):
+            e.last_touched = now
+            e.touch_count += 1
+            return True
+        self._entries[prefix_hash] = TTLEntry(prefix_hash, now, now)
+        return False
+
+    def next_deadline(self, prefix_hash: str) -> float:
+        e = self._entries.get(prefix_hash)
+        return (e.last_touched + self.ttl) if e else 0.0
+
+    def time_until_expiry(self, prefix_hash: str) -> float:
+        e = self._entries.get(prefix_hash)
+        if e is None:
+            return 0.0
+        return max(e.last_touched + self.ttl - self._clock(), 0.0)
+
+    def schedule_deadline(self, prefix_hash: str,
+                          safety_margin: float = 30.0) -> float:
+        """When to fire a keep-alive touch: expiry minus margin
+        (ttl.go:119-126)."""
+        d = self.next_deadline(prefix_hash)
+        return max(d - safety_margin, self._clock()) if d else 0.0
+
+    def expired_entries(self) -> list[TTLEntry]:
+        now = self._clock()
+        return [e for e in self._entries.values() if not e.is_alive(self.ttl, now)]
+
+    def evict(self, prefix_hash: str) -> None:
+        self._entries.pop(prefix_hash, None)
+
+    def stats(self) -> dict:
+        now = self._clock()
+        alive = sum(1 for e in self._entries.values() if e.is_alive(self.ttl, now))
+        return {
+            "tracked": len(self._entries),
+            "alive": alive,
+            "expired": len(self._entries) - alive,
+            "total_touches": sum(e.touch_count for e in self._entries.values()),
+        }
+
+
+# ---------------------------------------------------------- stability
+
+
+@dataclass
+class StabilityRecord:
+    call_site: str
+    total_checks: int = 0
+    changes: int = 0
+    hashes: list[str] = field(default_factory=list)
+
+    @property
+    def stability_rate(self) -> float:
+        if self.total_checks <= 1:
+            return 1.0
+        return 1.0 - self.changes / (self.total_checks - 1)
+
+
+class StabilityValidator:
+    """Detects cache prefixes that churn between requests
+    (stability.go:73-282): per-call-site hash history with a warmup
+    period; below-threshold stability raises an issue with a diagnosis
+    of likely dynamic content."""
+
+    def __init__(self, warmup_checks: int = 3, unstable_threshold: float = 0.8,
+                 max_hash_history: int = 100,
+                 dynamic_patterns: list[str] | None = None):
+        self.warmup = warmup_checks
+        self.threshold = unstable_threshold
+        self.max_history = max_hash_history
+        self.patterns = dynamic_patterns or list(DYNAMIC_PATTERNS)
+        self._records: dict[str, StabilityRecord] = {}
+
+    def check(self, call_site: str, prefix_hash: str,
+              prefix_text: str = "") -> list[dict]:
+        if not prefix_hash:
+            return []
+        rec = self._records.setdefault(call_site, StabilityRecord(call_site))
+        prev = rec.hashes[-1] if rec.hashes else ""
+        rec.total_checks += 1
+        if prev and prev != prefix_hash:
+            rec.changes += 1
+        rec.hashes.append(prefix_hash)
+        if len(rec.hashes) > self.max_history:
+            rec.hashes = rec.hashes[-self.max_history:]
+        if rec.total_checks < self.warmup:
+            return []
+        rate = rec.stability_rate
+        if rate >= self.threshold:
+            return []
+        return [
+            {
+                "call_site": call_site,
+                "stability_rate": round(rate, 4),
+                "total_checks": rec.total_checks,
+                "changes": rec.changes,
+                "previous_hash": prev,
+                "current_hash": prefix_hash,
+                "likely_cause": self._diagnose(prefix_text),
+            }
+        ]
+
+    def validate_text(self, prefix_text: str) -> list[str]:
+        lower = (prefix_text or "").lower()
+        return [p for p in self.patterns if p in lower]
+
+    def _diagnose(self, text: str) -> str:
+        found = self.validate_text(text)
+        if found:
+            return f"dynamic content in prefix: {', '.join(found[:3])}"
+        return "unknown (prefix text changes between requests)"
+
+    def stats(self, call_site: str) -> StabilityRecord | None:
+        return self._records.get(call_site)
+
+    def all_stats(self) -> list[StabilityRecord]:
+        return list(self._records.values())
+
+    def reset(self, call_site: str) -> None:
+        self._records.pop(call_site, None)

@@ -1,0 +1,118 @@
+"""Cache suite: frozen prefix partition, cache-aware dedup, TTL
+tracker, stability validator, pattern classifier.
+
+Reference invariants: prefix.go:40-70 (split after last marker, stable
+hash), ttl.go:58-126 (touch refresh vs expiry, deadline margin),
+stability.go:142-229 (warmup, rate threshold, diagnosis),
+patterns.go:96-290 + cache_test.go:341 (<= 4 markers)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distill_spark.functions.cache_prefix import (
+    partition_for_cache_aware_dedup,
+    dedupe_cache_aware,
+    TTLTracker,
+    StabilityValidator,
+)
+from distill_spark.functions.cache_patterns import with_cache_annotations
+
+
+LONG_SYS = "You are a helpful assistant. " + "stable system policy text " * 60
+
+
+def _chunks(spark):
+    rows = [
+        (1, LONG_SYS, True),
+        (2, "tool definitions block function tool_name parameters " * 30, True),
+        (3, "user question about spark joins and shuffles", False),
+        (4, "assistant answer describing broadcast joins in detail", False),
+        (5, "user question about spark joins and shuffles", False),  # dup of 3
+    ]
+    return spark.createDataFrame(rows, "seq long, text string, cache_marker boolean")
+
+
+def test_prefix_partition_split_and_hash(spark):
+    df = _chunks(spark)
+    p = partition_for_cache_aware_dedup(df)
+    assert p.marker_count == 2
+    assert {r["seq"] for r in p.prefix.collect()} == {1, 2}
+    assert {r["seq"] for r in p.suffix.collect()} == {3, 4, 5}
+    assert p.frozen_prefix_tokens > 0 and len(p.prefix_hash) == 16
+    # stable across identical content, changes when prefix changes
+    p2 = partition_for_cache_aware_dedup(_chunks(spark))
+    assert p2.prefix_hash == p.prefix_hash
+    changed = df.withColumn(
+        "text", F.when(F.col("seq") == 1, F.concat(F.col("text"), F.lit(" x")))
+        .otherwise(F.col("text"))
+    )
+    assert partition_for_cache_aware_dedup(changed).prefix_hash != p.prefix_hash
+    # no markers -> all suffix
+    p0 = partition_for_cache_aware_dedup(df.withColumn("cache_marker", F.lit(False)))
+    assert p0.marker_count == 0 and p0.prefix.count() == 0 and p0.suffix.count() == 5
+
+
+def test_cache_aware_dedupe_freezes_prefix(spark):
+    df = _chunks(spark).select(
+        F.format_string("c%03d", F.col("seq")).alias("image_id"),
+        F.col("text").alias("caption"), "seq", "cache_marker",
+    )
+    assignments, part = dedupe_cache_aware(df)
+    comp = {r["image_id"]: r["component"] for r in assignments.collect()}
+    # frozen rows pass through untouched even though chunk 1/2 texts repeat
+    assert comp["c001"] == "c001" and comp["c002"] == "c002"
+    # suffix dedup still merges the exact dup pair
+    assert comp["c003"] == comp["c005"]
+    assert comp["c004"] not in (comp["c003"],)
+
+
+def test_ttl_tracker_touch_expiry_deadline():
+    now = [1000.0]
+    t = TTLTracker(ttl_seconds=300, clock=lambda: now[0])
+    assert t.touch("h1") is False          # new window
+    assert t.touch("h1") is True           # refresh hit
+    assert t.time_until_expiry("h1") == 300.0
+    assert t.schedule_deadline("h1", safety_margin=30) == now[0] + 270
+    now[0] += 301
+    assert t.time_until_expiry("h1") == 0.0
+    assert [e.prefix_hash for e in t.expired_entries()] == ["h1"]
+    assert t.touch("h1") is False          # expired -> new window (count resets)
+    s = t.stats()
+    assert s["tracked"] == 1 and s["alive"] == 1 and s["total_touches"] == 1
+    t.evict("h1")
+    assert t.stats()["tracked"] == 0
+
+
+def test_stability_validator_warmup_threshold_diagnosis():
+    v = StabilityValidator(warmup_checks=3, unstable_threshold=0.8)
+    assert v.check("site", "aaaa") == []            # warmup
+    assert v.check("site", "bbbb") == []            # warmup
+    issues = v.check("site", "cccc", "uses request_id and timestamp here")
+    assert issues and issues[0]["stability_rate"] == 0.0
+    assert "request_id" in issues[0]["likely_cause"]
+    # a stable site raises nothing
+    for h in ("x", "x", "x", "x"):
+        out = v.check("stable", h)
+    assert out == []
+    assert v.stats("stable").stability_rate == 1.0
+    assert sorted(r.call_site for r in v.all_stats()) == ["site", "stable"]
+    v.reset("site")
+    assert v.stats("site") is None
+    assert v.validate_text("contains uuid and nonce") == ["uuid", "nonce"]
+
+
+def test_cache_annotations_marker_cap(spark):
+    rows = [(i, "You are a helpful assistant. " + "words " * (50 + i))
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "idx long, text string")
+    out = with_cache_annotations(df, "text", index_col="idx")
+    marked = [r["idx"] for r in out.filter("cache_marker").collect()]
+    assert len(marked) == 4, "at most MAX_CACHE_MARKERS markers"
+    assert set(marked) == {4, 5, 6, 7}, "highest token counts win"
+    # manual markers disable auto placement
+    manual = df.withColumn("manual", F.col("idx") == 0)
+    out2 = with_cache_annotations(df.withColumn("manual", F.col("idx") == 0),
+                                  "text", index_col="idx",
+                                  manual_marker_col="manual")
+    marked2 = [r["idx"] for r in out2.filter("cache_marker").collect()]
+    assert marked2 == [0]
