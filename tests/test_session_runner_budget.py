@@ -147,6 +147,31 @@ def test_run_pipeline_stats_contract(spark):
     assert res.output.count() == 12
 
 
+def test_run_pipeline_summarize_stage_enforces_budget(spark):
+    texts = _distinct_texts(10, seed=17, sentences=6, words=12)
+    rows = [(f"s{i:03d}", t, i) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "image_id string, caption string, seq long")
+    from distill_spark.operators.budget import est_tokens_col
+
+    total = df.agg(F.sum(est_tokens_col("caption")).alias("t")).collect()[0]["t"]
+    budget = int(total * 0.5)
+    res = run_pipeline(
+        df,
+        PipelineOptions(dedup_enabled=False, compress_enabled=False,
+                        summarize_enabled=True, summarize_max_tokens=budget,
+                        summarize_recent=3),
+        seq_col="seq",
+    )
+    stats = {r["stage"]: r for r in res.stats.collect()}
+    sm = stats["summarize"]
+    assert sm["enabled"] and sm["output_tokens"] <= budget
+    assert sm["reduction"] > 0
+    # the 3 most recent rows keep full fidelity
+    out = {r["image_id"]: r["caption"] for r in res.output.collect()}
+    for i in (7, 8, 9):
+        assert out[f"s{i:03d}"] == texts[i]
+
+
 def test_run_pipeline_disabled_stages_are_identity(spark):
     df = spark.createDataFrame(
         [("a", LONG), ("b", LONG + " x")], "image_id string, caption string"
