@@ -99,7 +99,22 @@ def enforce_token_budget(
     leaves it over budget then too).
 
     max_tokens=0 means "no budget": only the age/importance first pass runs.
+
+    SCALE NOTE: the escalation order is a GLOBAL seq order, so the
+    cumulative windows run in one partition by construction — right for
+    a session/context window (10^3-10^6 rows), wrong for a corpus. For
+    many sessions at once use SessionStore.enforce_budget_bulk
+    (applyInPandas per session); a corpus-wide call fails loudly at
+    max_rows instead of silently single-tasking 10^8 rows.
     """
+    max_rows = 5_000_000
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"enforce_token_budget is a sequential-by-seq operator "
+            f"(global window); got > {max_rows} rows — partition by "
+            "session and use SessionStore.enforce_budget_bulk instead"
+        )
     total_w = Window.partitionBy()
     recent_w = Window.partitionBy().orderBy(F.desc(seq_col))
     base = df.withColumn("_rn_recent", F.row_number().over(recent_w))
