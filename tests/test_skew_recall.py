@@ -65,6 +65,42 @@ def test_hamming_exact_random_values(spark):
     assert got == _brute_hamming(rows, 3)
 
 
+def test_hamming_exact_property(spark):
+    """Property-style sweep: random value distributions (clustered,
+    low-entropy, adversarial identical crowds) x random k x tiny caps —
+    the refinement output must equal brute force every time."""
+    rng = random.Random(23)
+    for trial in range(4):
+        k = rng.choice([1, 2, 4, 6])
+        cap = rng.choice([4, 16, 64])
+        style = rng.choice(["lowbits", "clustered", "mixed"])
+        rows = []
+        for i in range(150):
+            if style == "lowbits":
+                v = rng.getrandbits(20)
+            elif style == "clustered":
+                base = [0xDEADBEEF, 0x12345678F00D, 0x7FFFFFFFFFFFFFFF][i % 3]
+                v = base ^ sum(1 << rng.randrange(64) for _ in range(rng.randrange(0, k + 3)))
+            else:
+                v = rng.getrandbits(64) if i % 2 else rng.getrandbits(8)
+            rows.append((f"t{trial}i{i:03d}", v & ((1 << 64) - 1)))
+        rows += [(f"t{trial}dup{j}", rows[0][1]) for j in range(5)]
+        df = spark.createDataFrame(
+            [(i, _signed(v)) for i, v in rows], "id string, phash long"
+        )
+        cfg = DedupConfig(max_bucket_size=cap)
+        cand = hamming_candidate_pairs(df, "phash", k, id_col="id", cfg=cfg)
+        got = {
+            tuple(r)
+            for r in verify_hamming(cand, df, "phash", k, id_col="id").collect()
+        }
+        want = _brute_hamming(rows, k)
+        assert got == want, (
+            f"trial={trial} k={k} cap={cap} style={style}: "
+            f"missing={sorted(want - got)[:3]} extra={sorted(got - want)[:3]}"
+        )
+
+
 def test_winnow_oversized_bucket_nondup_hub(spark):
     """Popular boilerplate substring -> oversized fingerprint bucket.
     The bucket's min-id member (round-1 star hub) shares only the short
