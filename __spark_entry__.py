@@ -484,8 +484,10 @@ def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: synthesize rgb8 payloads, decode via Arrow-
-    batched pandas UDF, aggregate per-image mean brightness (rows-only)."""
+    """Multimodal plumbing: synthesize rgb8 payloads (closed-form LCG,
+    datagen.lcg_pixels), decode via Arrow-batched pandas UDF, aggregate
+    per-image mean brightness — value-checked: the oracle recomputes the
+    768 pixel bytes per doc from the same formula."""
     import numpy as np
     import pandas as pd
 
@@ -1186,9 +1188,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hierarchical_summaries": _hierarchical_summaries_sql(),
         "cache_annotations": _cache_annotations_sql(),
-        # image_brightness / image_stats / extractive_compress / mmr_rerank /
+        "image_brightness": """
+            WITH px AS (
+              SELECT doc_id, unnest([(doc_id * 2654435761 + i * 40503) % 256
+                                     for i in generate_series(0, 767)]) AS v
+              FROM documents
+            )
+            SELECT printf('img%08d', doc_id) AS image_id,
+                   round(avg(v), 4) AS brightness
+            FROM px GROUP BY doc_id
+        """,
+        # image_stats / extractive_compress / mmr_rerank /
         # structured_compress / session_budget / kmeans_unique:
-        # non-SQL-expressible (PCG64 pixel payloads, skip-and-continue greedy
+        # non-SQL-expressible (8x8 average-hash, skip-and-continue greedy
         # knapsack, structural JSON walker, stateful session escalation,
         # iterative clustering) -> rows-only checks.
     }

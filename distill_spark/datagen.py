@@ -272,12 +272,24 @@ def generate_images(
     return df, truth
 
 
+def lcg_pixels(doc_id: int, w: int = 16, h: int = 16) -> np.ndarray:
+    """Deterministic pixels from a CLOSED-FORM generator:
+    px[i] = (doc_id * 2654435761 + i * 40503) mod 256. SQL-expressible,
+    so brightness/contrast oracles can recompute them exactly in DuckDB
+    (PCG64 payloads forced those queries to rows-only checks)."""
+    i = np.arange(w * h * 3, dtype=np.int64)
+    return ((int(doc_id) * 2654435761 + i * 40503) % 256).astype(np.uint8).reshape(
+        h, w, 3
+    )
+
+
 def images_from_documents(
     spark: SparkSession, sf_dir: str, with_payload: bool = False, seed: int = 42
 ) -> DataFrame:
     """Derive a deterministic images table from the driver-provided
-    documents.parquet (caption := text). Payload pixels/phash are seeded
-    by doc_id so the table is reproducible without external data.
+    documents.parquet (caption := text). Payload pixels/phash come from
+    the closed-form lcg_pixels generator, reproducible without external
+    data AND recomputable by the DuckDB oracle.
     """
     from pyspark.sql import functions as F
 
@@ -305,8 +317,7 @@ def images_from_documents(
         for pdf in batches:
             blobs, hashes = [], []
             for did in pdf["doc_id"]:
-                rng = np.random.default_rng(seed + int(did))
-                px = _pixels(rng, 16, 16)
+                px = lcg_pixels(int(did))
                 blobs.append(px.tobytes())
                 hashes.append(average_hash(px))
             yield pd.DataFrame(
