@@ -549,12 +549,16 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode plumbing: brightness/contrast/phash of synthetic
-    rgb8 payloads (rows-only; binary column consumed map-side)."""
+    """Multimodal decode plumbing: brightness/contrast of synthetic rgb8
+    payloads (binary column consumed map-side; value-checked against the
+    closed-form pixel generator). The phash recompute that
+    with_image_stats also emits is exercised by the pytest fidelity
+    suite — an 8x8 average hash is not robustly SQL-expressible (f64
+    tie-breaking at block-mean comparisons)."""
     from distill_spark.functions.multimodal import with_image_stats
 
     images = images_from_documents(spark, sf_dir, with_payload=True)
-    return with_image_stats(images)
+    return with_image_stats(images).select("image_id", "brightness", "contrast")
 
 
 _EDGES_SQL = """
@@ -1198,11 +1202,22 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(v), 4) AS brightness
             FROM px GROUP BY doc_id
         """,
-        # image_stats / extractive_compress / mmr_rerank /
-        # structured_compress / session_budget / kmeans_unique:
-        # non-SQL-expressible (8x8 average-hash, skip-and-continue greedy
-        # knapsack, structural JSON walker, stateful session escalation,
-        # iterative clustering) -> rows-only checks.
+        "image_stats": """
+            WITH px AS (
+              SELECT doc_id, unnest([(doc_id * 2654435761 + i * 40503) % 256
+                                     for i in generate_series(0, 767)]) AS v
+              FROM documents
+            )
+            SELECT printf('img%08d', doc_id) AS image_id,
+                   round(avg(v), 4) AS brightness,
+                   round(stddev_pop(v), 4) AS contrast
+            FROM px GROUP BY doc_id
+        """,
+        # extractive_compress / mmr_rerank / structured_compress /
+        # session_budget / kmeans_unique: non-SQL-expressible
+        # (skip-and-continue greedy knapsack, structural JSON walker,
+        # stateful session escalation, iterative clustering)
+        # -> rows-only checks.
     }
 
 
