@@ -15,8 +15,8 @@ signature table. Semantics preserved:
              insert anyway, record the conflict pair
              (sqlite.go:155-162,268-275; thresholds store.go:229-239)
   recall     filter expiry/tags -> blend similarity with recency
-             (1/(1+age_h/24), sqlite.go:381-413) -> threshold -> sort
-             -> token-budget take-while (sqlite.go:439-451) -> touch
+             (1/(1+age_h/24), sqlite.go:381-413) -> threshold -> top-k
+             -> token-budget take-while (sqlite.go:439-451)
   forget     hard delete by ids/tags/age (sqlite.go:526-575)
   expire     soft delete flag + timestamp (sqlite.go:578-610)
   supersede  expire old + forward pointer (sqlite.go:613-648)
@@ -24,22 +24,37 @@ signature table. Semantics preserved:
 
 Similarity here is caption/text shingle Jaccard (the engine's exact
 text predicate); an embedding-cosine variant plugs in through
-functions.vectors. Storage: a parquet directory with atomic
-publish (same pattern as checkpoint.py); on clusters this is an
-Iceberg MERGE INTO.
-"""
+functions.vectors.
+
+Storage (round-3 scale hygiene): a parquet directory HASH-PARTITIONED
+on `bucket = pmod(xxhash64(id), n_buckets)`. Mutations (dup-touch,
+expire, supersede, forget, decay) rewrite ONLY the bucket partitions
+holding touched rows (storeio.replace_partitions — the parquet-dir
+analog of Iceberg MERGE INTO); pure inserts append files without
+reading anything. recall() is a distributed TakeOrdered top-k, never a
+single-task global sort. Every DataFrame surfaced in a result or
+written to a log is materialized BEFORE the store directory mutates,
+so cache eviction can never re-derive a result from post-mutation
+state (round-2 ADVICE: lazy plans over a swapped path produced
+phantom self-match pairs)."""
 
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .config import DedupConfig
+from .storeio import (
+    append_dir,
+    guarded_collect,
+    has_data,
+    publish_dir,
+    recover_dir,
+    replace_partitions,
+)
 from .operators.signatures import with_signatures
 from .operators.minhash import band_buckets
 from .operators.verify import jaccard_col
@@ -68,11 +83,14 @@ class StoreResult:
 
 class MemoryStore:
     def __init__(self, spark: SparkSession, path: str, cfg: DedupConfig | None = None,
-                 dup_jaccard: float = 0.85, conflict_jaccard: float = 0.5):
+                 dup_jaccard: float = 0.85, conflict_jaccard: float = 0.5,
+                 n_buckets: int = 16):
         self.spark, self.path = spark, path
         self.cfg = cfg or DedupConfig()
         self.dup_jaccard, self.conflict_jaccard = dup_jaccard, conflict_jaccard
+        self.n_buckets = n_buckets
         os.makedirs(path, exist_ok=True)
+        recover_dir(self._data_path())  # heal a crash from a prior run
         # lifecycle event handlers (reference OnLifecycleEvent,
         # sqlite.go:724-736): called synchronously, registration order
         self._handlers: list = []
@@ -88,6 +106,21 @@ class MemoryStore:
     def _data_path(self) -> str:
         return os.path.join(self.path, "memories")
 
+    def _bucket_expr(self) -> F.Column:
+        return F.pmod(F.xxhash64(F.col("id")), F.lit(self.n_buckets)).cast("int")
+
+    def _buckets_of(self, ids) -> list[int]:
+        """Bucket set of a (small) Python id list, via the same JVM hash
+        the partitioning uses."""
+        ids = list(ids)
+        if not ids:
+            return []
+        df = self.spark.createDataFrame([(i,) for i in ids], "id string")
+        return sorted({r["b"] for r in df.select(self._bucket_expr().alias("b")).distinct().collect()})
+
+    def _guard_max(self) -> int:
+        return int(self.cfg.extra.get("dup_edges_max", 1_000_000))
+
     def conflicts(self) -> DataFrame:
         """Persisted conflict-pair log (reference keeps conflicts in the
         store result with NewID backfilled, sqlite.go:209-213; we also
@@ -100,48 +133,53 @@ class MemoryStore:
             )
         return self.spark.read.parquet(p)
 
-    def snapshot(self) -> DataFrame:
+    def _raw(self) -> DataFrame:
+        """Store rows WITH the bucket partition column (internal)."""
         p = self._data_path()
-        if not os.path.exists(p):
-            return self.spark.createDataFrame([], MEMORY_SCHEMA)
+        recover_dir(p)
+        if not has_data(p):
+            return self.spark.createDataFrame([], MEMORY_SCHEMA) \
+                .withColumn("bucket", self._bucket_expr())
         df = self.spark.read.parquet(p)
         if "minhash" not in df.columns:  # legacy store: derive once on read
             sigs = with_signatures(df.select("id", "text"), "text", "id",
                                    self.cfg, parts=("shingles", "minhash"))
             df = df.join(sigs, "id", "left")
+        if "bucket" not in df.columns:  # legacy unpartitioned layout
+            df = df.withColumn("bucket", self._bucket_expr())
         return df
 
-    def _publish(self, df: DataFrame) -> None:
-        """Atomic overwrite: write new version, swap directory."""
+    def _is_partitioned(self) -> bool:
         p = self._data_path()
-        tmp = p + "._tmp" + uuid.uuid4().hex[:6]
-        df.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(p):
-            old = p + "._old"
-            os.replace(p, old)
-            os.replace(tmp, p)
-            shutil.rmtree(old)
-        else:
-            os.replace(tmp, p)
+        return os.path.isdir(p) and any(
+            name.startswith("bucket=") for name in os.listdir(p)
+        )
+
+    def snapshot(self) -> DataFrame:
+        return self._raw().drop("bucket")
+
+    def _publish(self, df: DataFrame) -> None:
+        """Atomic full overwrite, hash-partitioned on bucket."""
+        if "bucket" not in df.columns:
+            df = df.withColumn("bucket", self._bucket_expr())
+        publish_dir(df, self._data_path(), partition_by="bucket")
 
     def _append(self, df: DataFrame) -> None:
-        """Append-only write: stage to a temp dir, then MOVE the data
-        files in (near-atomic on one filesystem; a crash mid-move leaves
-        whole files, not partial ones). On clusters this is an Iceberg
-        transactional append."""
-        p = self._data_path()
-        if not os.path.exists(p):
-            self._publish(df)
+        if "bucket" not in df.columns:
+            df = df.withColumn("bucket", self._bucket_expr())
+        append_dir(df, self._data_path(), partition_by="bucket")
+
+    def _replace_buckets(self, df: DataFrame, buckets: list[int]) -> None:
+        """Rewrite only the given bucket partitions with df's rows (df =
+        the full new content of those buckets). Falls back to a full
+        publish on a legacy unpartitioned store."""
+        if not self._is_partitioned() and has_data(self._data_path()):
+            untouched = self._raw().filter(~F.col("bucket").isin(buckets))
+            self._publish(untouched.unionByName(df))
             return
-        tmp = p + "._app" + uuid.uuid4().hex[:6]
-        df.write.mode("overwrite").parquet(tmp)
-        for name in os.listdir(tmp):
-            if name.endswith(".parquet"):
-                os.replace(
-                    os.path.join(tmp, name),
-                    os.path.join(p, f"app-{uuid.uuid4().hex[:8]}-{name}"),
-                )
-        shutil.rmtree(tmp)
+        if "bucket" not in df.columns:
+            df = df.withColumn("bucket", self._bucket_expr())
+        replace_partitions(df, self._data_path(), "bucket", buckets)
 
     # --------------------------------------------------------------- store
     def _pairs_from_sigs(self, sig_new: DataFrame, sig_old: DataFrame,
@@ -189,11 +227,16 @@ class MemoryStore:
         of a batch are already stored when later rows check) with id
         order as the deterministic stand-in for arrival order.
         Everything is one batch of joins — no per-row probing; only the
-        (small, output-bound) intra-batch dup edge list is collected for
-        the order-dependent greedy.
-        """
+        (small, output-bound, loudly-guarded) dup/conflict edge lists
+        are collected for the order-dependent greedy — and they are
+        collected BEFORE the store directory mutates, so the returned
+        result never depends on a lazy plan over the swapped path.
+
+        I/O: pure inserts APPEND files (nothing read or rewritten);
+        dup-touch updates rewrite only the bucket partitions holding the
+        touched rows (Iceberg MERGE INTO on clusters)."""
         now = now if now is not None else F.current_timestamp()
-        existing = self.snapshot()
+        existing = self._raw()
         live = existing.filter(
             (~F.col("expired"))
             & (F.col("expires_at").isNull() | (F.col("expires_at") > now))
@@ -202,12 +245,15 @@ class MemoryStore:
         sig_new = with_signatures(entries.select("id", "text"), "text", "id",
                                   self.cfg, parts=("shingles", "minhash")).persist()
         sig_old = live.select("id", "shingles", "minhash")
-        pairs = self._pairs_from_sigs(sig_new, sig_old).persist()
-        dups = pairs.filter(F.col("jaccard") >= self.dup_jaccard)
-        conflicts = pairs.filter(
-            (F.col("jaccard") >= self.conflict_jaccard)
-            & (F.col("jaccard") < self.dup_jaccard)
+        pairs = self._pairs_from_sigs(sig_new, sig_old)
+        gmax = self._guard_max()
+        # materialize vs-stored edges NOW (store path not yet mutated)
+        pair_rows = guarded_collect(
+            pairs.filter(F.col("jaccard") >= self.conflict_jaccard),
+            gmax, "store_batch dup/conflict edges",
         )
+        dup_rows = [r for r in pair_rows if r["jaccard"] >= self.dup_jaccard]
+        conflict_rows = [r for r in pair_rows if r["jaccard"] < self.dup_jaccard]
 
         # intra-batch dedup: greedy in id order over the (small) dup-edge
         # list — b is rejected iff it near-dups an earlier row that was
@@ -217,9 +263,10 @@ class MemoryStore:
             .filter(F.col("jaccard") >= self.dup_jaccard)
             .select("a", "b", "jaccard")
         )
-        rejected_vs_stored = {r["new_id"] for r in dups.select("new_id").distinct().collect()}
+        rejected_vs_stored = {r["new_id"] for r in dup_rows}
         intra_edges = sorted(
-            (r["a"], r["b"], r["jaccard"]) for r in intra.collect()
+            (r["a"], r["b"], r["jaccard"])
+            for r in guarded_collect(intra, gmax, "store_batch intra-batch dup edges")
         )
         rejected_intra: dict[str, tuple[str, float]] = {}
         by_b: dict[str, list[tuple[str, float]]] = {}
@@ -261,16 +308,26 @@ class MemoryStore:
             F.lit(0).cast("long").alias("decay_level"),
         ).join(sig_new.select("id", "shingles", "minhash"), "id", "left")
 
-        touched_ids = dups.select(F.col("existing_id").alias("id")).distinct()
-        n_touched = touched_ids.limit(1).count()
-        if n_touched == 0 and not rejected_intra:
-            # pure-insert fast path: APPEND new rows; the store is never
-            # rewritten (Iceberg append on clusters). Only dup-touch
-            # updates force a rewrite (Iceberg MERGE INTO there).
-            self._append(inserted)
-        else:
+        # persist the conflict log BEFORE mutating the store (new_id is
+        # already attached — the reference's post-insert NewID backfill,
+        # sqlite.go:209-213); built from the collected rows, so replaying
+        # the plan can never read post-mutation state
+        conf_local = self.spark.createDataFrame(
+            [(r["new_id"], r["existing_id"], float(r["jaccard"])) for r in conflict_rows],
+            "new_id string, existing_id string, jaccard double",
+        ).withColumn("detected_at", now)
+        conf_local.write.mode("append").parquet(os.path.join(self.path, "conflicts"))
+
+        touched_ids = sorted({r["existing_id"] for r in dup_rows})
+        if touched_ids:
+            # dup-touch: rewrite ONLY the buckets holding touched rows
+            buckets = self._buckets_of(touched_ids)
+            touched_df = self.spark.createDataFrame(
+                [(i,) for i in touched_ids], "id string"
+            ).withColumn("_hit", F.lit(1))
+            sub = existing.filter(F.col("bucket").isin(buckets))
             updated = (
-                existing.join(touched_ids.withColumn("_hit", F.lit(1)), "id", "left")
+                sub.join(touched_df, "id", "left")
                 .withColumn("access_count",
                             F.when(F.col("_hit").isNotNull(), F.col("access_count") + 1)
                             .otherwise(F.col("access_count")))
@@ -279,31 +336,37 @@ class MemoryStore:
                             .otherwise(F.col("last_referenced")))
                 .drop("_hit")
             )
-            self._publish(updated.unionByName(inserted))
-        intra_rows = [(b, a, float(j)) for b, (a, j) in rejected_intra.items()]
-        intra_df = self.spark.createDataFrame(
-            intra_rows, "new_id string, existing_id string, jaccard double"
+            self._replace_buckets(updated, buckets)
+        # inserts always APPEND (bucket-partitioned file move-in)
+        self._append(inserted)
+
+        dup_local = self.spark.createDataFrame(
+            [(r["new_id"], r["existing_id"], float(r["jaccard"])) for r in dup_rows]
+            + [(b, a, float(j)) for b, (a, j) in rejected_intra.items()],
+            "new_id string, existing_id string, jaccard double",
         )
-        # persist the conflict log (new_id is already attached — the
-        # reference's post-insert NewID backfill, sqlite.go:209-213)
-        conf_out = conflicts.select("new_id", "existing_id", "jaccard").withColumn(
-            "detected_at", now
-        )
-        conf_out.write.mode("append").parquet(os.path.join(self.path, "conflicts"))
         if self._handlers:
             self._emit("store", [r["id"] for r in inserted.select("id").collect()])
             self._emit("duplicate", sorted(all_rejected))
-        return StoreResult(
+        result = StoreResult(
             stored=inserted,
-            duplicates=dups.select("new_id", "existing_id", "jaccard").unionByName(intra_df),
-            conflicts=conflicts,
+            duplicates=dup_local,
+            conflicts=conf_local.select("new_id", "existing_id", "jaccard"),
         )
+        sig_new.unpersist()
+        return result
 
     # -------------------------------------------------------------- recall
     def recall(self, query: str, k: int = 8, min_relevance: float = 0.0,
                tags: list[str] | None = None, token_budget: int | None = None,
                recency_weight: float = 0.3, now: F.Column | None = None) -> DataFrame:
-        """-> (id, text, relevance) top-k by blended relevance."""
+        """-> (id, text, relevance) top-k by blended relevance.
+
+        Scale shape: the top-k is `orderBy(...).limit(k)`, which Spark
+        executes as distributed TakeOrdered (per-partition heaps + a
+        k-row merge on the driver) — NOT a rank window, which would
+        funnel every surviving row through one task's sort. The
+        token-budget take-while window then runs over at most k rows."""
         from pyspark.sql import Window
 
         now = now if now is not None else F.current_timestamp()
@@ -346,8 +409,11 @@ class MemoryStore:
             )
             .filter(F.col("relevance") >= min_relevance)
         )
-        w = Window.orderBy(F.desc("relevance"), F.asc("id"))
-        out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        out = (
+            scored.select("id", "text", "relevance")
+            .orderBy(F.desc("relevance"), F.asc("id"))
+            .limit(k)
+        )
         if token_budget is not None:
             cum = Window.orderBy(F.desc("relevance"), F.asc("id")).rowsBetween(
                 Window.unboundedPreceding, Window.currentRow
@@ -358,37 +424,49 @@ class MemoryStore:
 
     # ----------------------------------------------------------- lifecycle
     def forget(self, ids: list[str] | None = None, tags: list[str] | None = None) -> int:
-        mem = self.snapshot()
+        """Hard delete. Rewrites only the bucket partitions holding
+        removed rows; a forget that matches nothing touches no files."""
+        mem = self._raw()
         cond = F.lit(False)
         if ids:
             cond = cond | F.col("id").isin(ids)
         if tags:
             cond = cond | F.arrays_overlap(F.col("tags"), F.array(*[F.lit(t) for t in tags]))
-        kept = mem.filter(~cond)
-        removed = mem.filter(cond).count()  # one count, not two full scans
-        self._publish(kept)
-        self._emit("forget", ids or [], {"tags": tags or [], "removed": removed})
-        return removed
+        removed = mem.filter(cond)
+        # per-bucket removal counts: <= n_buckets rows to the driver
+        per_bucket = removed.groupBy("bucket").count().collect()
+        buckets = sorted(r["bucket"] for r in per_bucket)
+        n_removed = int(sum(r["count"] for r in per_bucket))
+        if buckets:
+            kept = mem.filter(F.col("bucket").isin(buckets)).filter(~cond)
+            self._replace_buckets(kept, buckets)
+        self._emit("forget", ids or [], {"tags": tags or [], "removed": n_removed})
+        return n_removed
 
     def expire(self, ids: list[str], now: F.Column | None = None) -> None:
         now = now if now is not None else F.current_timestamp()
-        mem = self.snapshot()
-        self._publish(
-            mem.withColumn(
+        buckets = self._buckets_of(ids)
+        if not buckets:
+            return
+        sub = self._raw().filter(F.col("bucket").isin(buckets))
+        self._replace_buckets(
+            sub.withColumn(
                 "expired",
                 F.when(F.col("id").isin(ids), F.lit(True)).otherwise(F.col("expired")),
             ).withColumn(
                 "expires_at",
                 F.when(F.col("id").isin(ids), now).otherwise(F.col("expires_at")),
-            )
+            ),
+            buckets,
         )
         self._emit("expire", ids)
 
     def supersede(self, old_id: str, new_id: str, now: F.Column | None = None) -> None:
         now = now if now is not None else F.current_timestamp()
-        mem = self.snapshot()
-        self._publish(
-            mem.withColumn(
+        buckets = self._buckets_of([old_id])
+        sub = self._raw().filter(F.col("bucket").isin(buckets))
+        self._replace_buckets(
+            sub.withColumn(
                 "expired",
                 F.when(F.col("id") == old_id, F.lit(True)).otherwise(F.col("expired")),
             ).withColumn(
@@ -397,7 +475,8 @@ class MemoryStore:
             ).withColumn(
                 "expires_at",
                 F.when(F.col("id") == old_id, now).otherwise(F.col("expires_at")),
-            )
+            ),
+            buckets,
         )
         self._emit("supersede", [old_id], {"new_id": new_id})
 
@@ -405,28 +484,34 @@ class MemoryStore:
                   summary_h: float = 24.0, keywords_h: float = 168.0,
                   evict_h: float = 720.0) -> DataFrame:
         """Age-bucketed decay transitions; evict-age rows are dropped.
-        Returns the lifecycle-event rows (id, old_level, new_level)."""
+        Returns the lifecycle-event rows (id, old_level, new_level).
+        Rewrites only buckets holding level-changed rows; events are
+        materialized (localCheckpoint) before the store mutates."""
         now = now if now is not None else F.current_timestamp()
-        mem = self.snapshot()
+        mem = self._raw()
         lev = decay_level("created_at", now, summary_h, keywords_h, evict_h)
         changed = mem.withColumn("new_level", lev.cast("long"))
-        events = changed.filter(F.col("new_level") != F.col("decay_level")).select(
-            "id", F.col("decay_level").alias("old_level"), "new_level"
-        )
-        events = events.persist()
-        events.count()
-        kept = (
-            changed.filter(F.col("new_level") < 3)
-            .withColumn("decay_level", F.col("new_level"))
-            .drop("new_level")
-        )
-        self._publish(kept)
-        if self._handlers:
-            self._emit(
-                "decay",
-                [r["id"] for r in events.select("id").collect()],
+        delta = changed.filter(F.col("new_level") != F.col("decay_level"))
+        # materialize BEFORE the rewrite: the returned events and the
+        # touched-bucket list must not be lazily re-derived from the
+        # mutated path (localCheckpoint truncates the lineage; on a real
+        # cluster prefer reliable checkpoint / collect — events are
+        # output-bound)
+        events = delta.select(
+            "id", "bucket", F.col("decay_level").alias("old_level"), "new_level"
+        ).localCheckpoint(eager=True)
+        buckets = sorted(r["bucket"] for r in events.select("bucket").distinct().collect())
+        if buckets:
+            kept = (
+                changed.filter(F.col("bucket").isin(buckets))
+                .filter(F.col("new_level") < 3)
+                .withColumn("decay_level", F.col("new_level"))
+                .drop("new_level")
             )
-        return events
+            self._replace_buckets(kept, buckets)
+        if self._handlers:
+            self._emit("decay", [r["id"] for r in events.select("id").collect()])
+        return events.drop("bucket")
 
     def stats(self) -> DataFrame:
         """COUNT(*), expired count, per-level counts, min/max created

@@ -22,6 +22,23 @@ gap. Both reduce to per-level aggregates + ONE cumulative-sum window
 over seq — no driver-side loop over rows, shuffle-count independent of
 corpus size.
 
+MONOTONE-LADDER REQUIREMENT (documented deviation): the closed form is
+exact iff per-level token counts are non-increasing (escalating a turn
+never inflates it). The raw compressors don't quite guarantee that —
+e.g. a level-3 keyword line can be longer than a one-word level-2
+first sentence — and in those cases the reference's sequential
+early-break loop (hierarchy.go:121-186) diverges from any closed form.
+We therefore CLAMP the ladder in `with_level_ladder`: if level L's
+output is longer than level L-1's, level L reuses level L-1's content.
+Under the clamped ladder the sequential loop and the closed form agree
+exactly (property-tested in test_session_runner_budget); the clamp
+only binds where escalation would have been counterproductive anyway.
+
+Eviction semantics: the reference REMOVES evicted turns from its
+result (hierarchy.go); pass drop_evicted=True for that. The default
+keeps them as level-4/empty-content rows so callers can observe what
+was evicted.
+
 Token estimate matches pipeline.go:178-190: per turn,
 (count of non-space/\n/\t chars + 3) / 4.
 """
@@ -53,12 +70,31 @@ def _est_tokens_py(text: str) -> int:
     return (n + 3) // 4
 
 
+def clamped_ladder_py(text: str) -> list[tuple[str, int]]:
+    """(content, tokens) at levels 0..4 with the non-increasing clamp:
+    level L falls back to level L-1's content when its own summary would
+    be LONGER (see module docstring). Level 4 = evicted = ('', 0).
+    Shared by the Arrow ladder pass and the pytest sequential oracle so
+    both sides agree on the exact ladder."""
+    t0 = text or ""
+    out = [(t0, _est_tokens_py(t0))]
+    for l in (1, 2, 3):
+        cand = summarize_at_level(t0, l)
+        tok = _est_tokens_py(cand)
+        if tok > out[-1][1]:
+            cand, tok = out[-1]
+        out.append((cand, tok))
+    out.append(("", 0))
+    return out
+
+
 def with_level_ladder(
     df: DataFrame, text_col: str = "text", prefix: str = "_lvl"
 ) -> DataFrame:
     """Adds, per row, the summary text and token estimate at every
     compression level: {prefix}_text_1..3 and {prefix}_tok_0..4
-    (level 4 = evicted = empty/0). One Arrow pass, map-side."""
+    (level 4 = evicted = empty/0), clamped non-increasing
+    (clamped_ladder_py). One Arrow pass, map-side."""
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -70,14 +106,11 @@ def with_level_ladder(
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             res = pdf.copy()
-            texts = [(t or "") for t in pdf[text_col]]
-            per_level = {l: [summarize_at_level(t, l) for t in texts] for l in (1, 2, 3)}
+            ladders = [clamped_ladder_py(t) for t in pdf[text_col]]
             for l in (1, 2, 3):
-                res[f"{prefix}_text_{l}"] = per_level[l]
-            res[f"{prefix}_tok_0"] = [_est_tokens_py(t) for t in texts]
-            for l in (1, 2, 3):
-                res[f"{prefix}_tok_{l}"] = [_est_tokens_py(t) for t in per_level[l]]
-            res[f"{prefix}_tok_4"] = 0
+                res[f"{prefix}_text_{l}"] = [lad[l][0] for lad in ladders]
+            for l in range(5):
+                res[f"{prefix}_tok_{l}"] = [lad[l][1] for lad in ladders]
             yield res
 
     return df.mapInPandas(batch, schema=schema)
@@ -93,10 +126,15 @@ def enforce_token_budget(
     preserve_recent: int = 10,
     importance_threshold: float = 0.7,
     age_levels: tuple[tuple[float, int], ...] = DEFAULT_AGE_LEVELS,
+    drop_evicted: bool = False,
 ) -> DataFrame:
     """-> df + (level, content, tokens) columns, total tokens <= max_tokens
     (unless even full eviction of eligible turns cannot fit — reference
     leaves it over budget then too).
+
+    drop_evicted=True removes level-4 rows from the result (the
+    reference's hierarchy.go eviction deletes the turn); the default
+    keeps them as empty-content rows so callers can see what went.
 
     max_tokens=0 means "no budget": only the age/importance first pass runs.
 
@@ -219,4 +257,7 @@ def enforce_token_budget(
     )
     lad = lad.withColumn("content", content).withColumn("tokens", tok_at(F.col("level")))
     keep = [c for c in df.columns] + ["level", "content", "tokens"]
-    return lad.select(*keep)
+    out = lad.select(*keep)
+    if drop_evicted:
+        out = out.filter(F.col("level") < LEVEL_EVICTED)
+    return out

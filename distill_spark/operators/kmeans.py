@@ -96,7 +96,9 @@ def kmeans_partition(
     )
     prev_sig: bytes | None = None
     assigned = None
+    used_centroids = centroids
     for _ in range(max_iters):
+        used_centroids = centroids
         assigned = df.select(id_col, vec_col).mapInPandas(
             _assign_udf(centroids, id_col, vec_col), schema=schema
         )
@@ -116,7 +118,13 @@ def kmeans_partition(
             break
         prev_sig = sig
         centroids = new_c
-    return assigned, centroids
+    # Materialize the final assignment (localCheckpoint) so downstream
+    # actions don't re-run the assignment job per action, and return the
+    # centroid snapshot the assignment was actually computed against —
+    # when max_iters is exhausted mid-improvement, `centroids` is one
+    # update step AHEAD of `assigned` (round-2 ADVICE).
+    assigned = assigned.localCheckpoint(eager=True)
+    return assigned, used_centroids
 
 
 def kmeans_dedupe(

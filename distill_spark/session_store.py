@@ -39,7 +39,6 @@ from __future__ import annotations
 import json
 import os
 import re
-import shutil
 import uuid
 from dataclasses import dataclass, field
 
@@ -48,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .config import DedupConfig
+from .storeio import guarded_collect, publish_dir, recover_dir
 from .operators.signatures import with_signatures
 from .operators.minhash import band_buckets
 from .operators.verify import jaccard_col
@@ -254,6 +254,7 @@ class SessionStore:
 
     def entries(self, session_id: str | None = None) -> DataFrame:
         p = self._entries_path()
+        recover_dir(p)
         if not os.path.exists(p):
             df = self.spark.createDataFrame([], ENTRY_SCHEMA)
         else:
@@ -263,16 +264,10 @@ class SessionStore:
         return df
 
     def _publish(self, df: DataFrame) -> None:
-        p = self._entries_path()
-        tmp = p + "._tmp" + uuid.uuid4().hex[:6]
-        df.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(p):
-            old = p + "._old"
-            os.replace(p, old)
-            os.replace(tmp, p)
-            shutil.rmtree(old)
-        else:
-            os.replace(tmp, p)
+        # crash-safe atomic swap with startup recovery (storeio): a crash
+        # between the two renames leaves entries at `._old`, restored by
+        # recover_dir on the next read/publish
+        publish_dir(df, self._entries_path())
 
     # ---------------------------------------------------------------- API
     def create(self, session_id: str | None = None, max_tokens: int | None = None,
@@ -470,12 +465,20 @@ class SessionStore:
 
         sn = sig_new.select(F.col("bid").alias("id_"), "shingles", "minhash")
         so = stored.select(F.col("id").alias("id_"), "shingles", "minhash")
+        gmax = int(self.cfg.extra.get("dup_edges_max", 1_000_000))
         vs_stored = {
-            r["bid"] for r in _pairs(sn, so, "bid", "sid").select("bid").distinct().collect()
+            r["bid"]
+            for r in guarded_collect(
+                _pairs(sn, so, "bid", "sid").select("bid").distinct(),
+                gmax, "session push dedup edges (batch vs stored)",
+            )
         }
         intra = [
             (int(r["b"]), int(r["a"]))
-            for r in _pairs(sn, sn, "b", "a", anti=True).collect()
+            for r in guarded_collect(
+                _pairs(sn, sn, "b", "a", anti=True), gmax,
+                "session push dedup edges (intra-batch)",
+            )
         ]
         sig_new.unpersist()
         by_b: dict[int, list[int]] = {}
@@ -513,15 +516,22 @@ class SessionStore:
         df = df.withColumn("_cum", F.sum("tokens").over(w))
         if max_tokens and max_tokens > 0:
             df = df.filter(F.col("_cum") <= max_tokens)
+        # per-entry integer floor (len+3)//4 matching est_tokens /
+        # reference estimateTokens, computed over the SAME filtered row
+        # set as total_tokens — not a float sum over all session rows
+        df = df.withColumn(
+            "_orig_tok",
+            F.floor((F.length(F.coalesce("original_content", F.lit(""))) + 3) / 4)
+            .cast("long"),
+        )
         out = df.select("id", "role", "content", "source",
                         "compression_level", "tokens", "seq").orderBy("seq")
-        rows = out.collect()
+        rows = df.select("id", "role", "compression_level", "tokens", "seq",
+                         "_orig_tok").orderBy("seq").collect()
         levels: dict[int, int] = {}
         for r in rows:
             levels[r["compression_level"]] = levels.get(r["compression_level"], 0) + 1
-        total_orig = self.entries(session_id).agg(
-            F.sum((F.length("original_content") + 3).cast("long") / 4).alias("t")
-        ).collect()[0]["t"]
+        total_orig = sum(r["_orig_tok"] for r in rows)
         total_tokens = sum(r["tokens"] for r in rows)
         stats = {
             "total_entries": len(rows),

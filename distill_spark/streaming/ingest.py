@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DedupConfig, DEFAULT
+from ..storeio import guarded_collect
 from ..operators.signatures import with_signatures
 from ..operators.minhash import band_buckets
 from ..operators.verify import jaccard_col
@@ -179,9 +180,16 @@ def incremental_dedupe_batch(
         .groupBy("new_id")
         .agg(F.min("component").alias("component"))
     )
-    stored_comp = {r["new_id"]: r["component"] for r in vs_stored.collect()}
+    gmax = int(cfg.extra.get("dup_edges_max", 1_000_000))
+    stored_comp = {
+        r["new_id"]: r["component"]
+        for r in guarded_collect(vs_stored, gmax,
+                                 "incremental dedup edges (batch vs stored)")
+    }
     intra_edges = sorted(
-        (r["b"], r["a"]) for r in verified_intra.select("a", "b").collect()
+        (r["b"], r["a"])
+        for r in guarded_collect(verified_intra.select("a", "b"), gmax,
+                                 "incremental dedup edges (intra-batch)")
     )
     by_b: dict[str, list[str]] = {}
     for b, a in intra_edges:

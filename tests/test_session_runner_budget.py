@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from distill_spark.functions.compress import summarize_at_level
 from distill_spark.operators.budget import (
     enforce_token_budget,
+    clamped_ladder_py,
     _est_tokens_py,
     DEFAULT_AGE_LEVELS,
 )
@@ -56,9 +57,8 @@ def _ref_budget_levels(rows, max_tokens, preserve_recent,
         state.append(maxl)
 
     def tok(r, lvl):
-        if lvl >= 4:
-            return 0
-        return _est_tokens_py(summarize_at_level(r["text"], lvl))
+        # the clamped ladder (budget.py): sequential loop == closed form
+        return clamped_ladder_py(r["text"])[lvl][1]
 
     total = sum(tok(r, l) for r, l in zip(rows, state))
     if max_tokens > 0 and total > max_tokens:
@@ -110,10 +110,72 @@ def test_enforce_token_budget_matches_sequential_reference(spark, seed, budget, 
     for r, wl in zip(rows, want_levels):
         gl, gt, gc = got[r["seq"]]
         assert gl == wl, f"seq {r['seq']}: level {gl} != ref {wl}"
-        want_text = "" if wl >= 4 else (
-            r["text"] if wl == 0 else summarize_at_level(r["text"], wl))
+        want_text, want_tok = clamped_ladder_py(r["text"])[wl]
         assert gc == want_text
-        assert gt == _est_tokens_py(want_text)
+        assert gt == want_tok
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_enforce_token_budget_non_monotone_ladder(spark, seed):
+    """Adversarial ladder shapes: a one-word first sentence followed by
+    many long keywords makes the RAW level-3 keyword line longer than
+    the level-2 sentence. The clamped ladder (budget.py docstring)
+    restores monotonicity, and under it the window closed form must
+    still match the sequential loop exactly."""
+    rng = random.Random(seed)
+    kws = ["hyperparameter", "regularization", "convolutional", "embedding",
+           "quantization", "distillation", "tokenization", "checkpoint"]
+    rows = []
+    for i in range(18):
+        # two one-word sentences, then an unterminated run of long
+        # keywords: level 2 (first two sentences) is tiny, raw level 3
+        # (keyword line over the WHOLE text) is long -> non-monotone
+        first = rng.choice(["Ok. Yes.", "Hi. Go.", "Done. Next.",
+                            "Done deal. And more follows here."])
+        tail = " ".join(rng.choice(kws) for _ in range(rng.randint(4, 14)))
+        rows.append({
+            "seq": i,
+            "text": f"{first} {tail}",
+            "imp": rng.choice([0.2, 0.5]),
+            "age_h": rng.choice([1.0, 5.0, 100.0]),
+        })
+    # sanity: the adversarial shape is actually non-monotone pre-clamp
+    assert any(
+        _est_tokens_py(summarize_at_level(r["text"], 3))
+        > _est_tokens_py(summarize_at_level(r["text"], 2))
+        for r in rows
+    )
+    df = spark.createDataFrame(
+        [(r["seq"], r["text"], r["imp"], r["age_h"]) for r in rows],
+        "seq long, text string, imp double, age_h double",
+    )
+    budget = rng.choice([15, 40, 90])
+    out = enforce_token_budget(
+        df, max_tokens=budget, seq_col="seq", text_col="text",
+        importance_col="imp", age_hours_col="age_h", preserve_recent=3,
+    )
+    got = {r["seq"]: (r["level"], r["tokens"], r["content"]) for r in out.collect()}
+    want_levels = _ref_budget_levels(rows, budget, 3)
+    for r, wl in zip(rows, want_levels):
+        gl, gt, gc = got[r["seq"]]
+        assert gl == wl, f"seq {r['seq']}: level {gl} != ref {wl}"
+        want_text, want_tok = clamped_ladder_py(r["text"])[wl]
+        assert gc == want_text and gt == want_tok
+
+
+def test_enforce_token_budget_drop_evicted(spark):
+    df = spark.createDataFrame(
+        [(i, "word " * 40, 0.1, 100.0) for i in range(10)],
+        "seq long, text string, imp double, age_h double",
+    )
+    kept = enforce_token_budget(
+        df, max_tokens=5, seq_col="seq", text_col="text",
+        importance_col="imp", age_hours_col="age_h", preserve_recent=0,
+        drop_evicted=True,
+    )
+    rows = kept.collect()
+    assert all(r["level"] < 4 for r in rows)
+    assert len(rows) < 10  # something was actually evicted/removed
 
 
 # ---------------------------------------------------------------- runner
