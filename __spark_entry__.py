@@ -520,10 +520,25 @@ def q_prune_fillers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_extractive_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extractive compression (rows-only; pandas stage)."""
+    """Extractive compression (reference pkg/compress/extractive.go:
+    63-109), value-checked: documents carry no sentence punctuation, so
+    we plant it deterministically — append the doc_id (digit-signal
+    sentences) and terminate every 5th word with '. '. The oracle
+    replays the full pipeline in SQL: sentence split, integer-scaled
+    position/length/digit scores (x100 — the raw floats are sums of
+    {.3,.15,.1,.2} computed in one order, so the integer ranking is
+    bit-identical), the skip-and-continue greedy under the half-token
+    budget as a recursive CTE, and positional re-join."""
     from distill_spark.functions.compress import extractive_compress
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.concat(F.col("text"), F.lit(" "), F.col("doc_id")),
+            r"((\S+ ){4}\S+) ",
+            r"$1. ",
+        ).alias("text"),
+    )
     out = extractive_compress(d, "text", "compressed", target_ratio=0.5)
     return out.select(
         "doc_id",
@@ -532,7 +547,13 @@ def q_extractive_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MMR diversity re-rank of the top-20 longest docs (rows-only)."""
+    """MMR re-rank of the top-20 longest docs — value-checked via the
+    lambda=1.0 restricted config (round-2 VERDICT guidance): at
+    lambda=1 the greedy MMR score is the min-max-normalized relevance
+    alone, which is monotone in the raw score, so the selection order
+    reduces exactly to ORDER BY score DESC, id ASC LIMIT k — pure SQL.
+    The diversity path (lambda=0.5) is pinned by pytest against an
+    independent brute-force MMR (tests/test_memory_and_ops.py)."""
     from distill_spark.operators.rerank import mmr_rerank
 
     d = (
@@ -545,7 +566,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("double").alias("score"),
         )
     )
-    return mmr_rerank(d, k=8, lam=0.5).select("image_id", "mmr_rank")
+    return mmr_rerank(d, k=8, lam=1.0).select("image_id", "mmr_rank")
 
 
 def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -643,11 +664,62 @@ def q_commit_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_structured_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON structural compression over events.props (rows-only)."""
+    """Structural compression (reference pkg/compress/placeholder.go:
+    93-271) — value-checked by planting one input shape per branch from
+    events (k = the integer in props), so the oracle can recompute the
+    exact compact output closed-form:
+
+      event_id % 4 == 0  nested JSON: array truncated at 3 (+'...N
+                         more'), dict at depth 2 -> '{...N keys}',
+                         85-char string -> 77 + '...'
+      event_id % 4 == 1  XML: <root> + (k%3+1) <item .../> + <note> ->
+                         '<xml {31+13m} chars: itemx{m}, notex1, rootx1>'
+      event_id % 4 == 2  pipe table: header + (k%4+2) rows x 3 cols ->
+                         '<table {r+1} rows x 3 cols: id|name|val>'
+      event_id % 4 == 3  plain text (no structure) -> passthrough
+
+    The mapInPandas operator is the real one; only the INPUT is planted
+    (the natural events.props is a flat '{"k": N}' that exercises no
+    branch)."""
     from distill_spark.functions.structured import with_structured_compression
 
-    e = _t(spark, sf_dir, "events").select("event_id", F.col("props").alias("text"))
-    return with_structured_compression(e, "text", "compact").select(
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("k"),
+    )
+    planted = e.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.concat(
+                F.lit('{"a": '), F.col("k"),
+                F.lit(', "b": ['), F.col("k") + 1, F.lit(", "),
+                F.col("k") + 2, F.lit(", "), F.col("k") + 3, F.lit(", "),
+                F.col("k") + 4, F.lit(", "), F.col("k") + 5,
+                F.lit('], "c": {"d": {"e": 1, "f": 2}}, "s": "'),
+                F.repeat(F.lit("x"), 85), F.lit('"}'),
+            ),
+        ).when(
+            F.col("event_id") % 4 == 1,
+            F.concat(
+                F.lit("<root>"),
+                F.repeat(F.lit('<item x="1"/>'), (F.col("k") % 3 + 1).cast("int")),
+                F.lit("<note>hello</note></root>"),
+            ),
+        ).when(
+            F.col("event_id") % 4 == 2,
+            F.concat(
+                F.lit("id|name|val"),
+                F.repeat(
+                    F.concat(F.lit("\n"), F.col("k"), F.lit("|w|"), F.col("k") * 2),
+                    (F.col("k") % 4 + 2).cast("int"),
+                ),
+            ),
+        ).otherwise(
+            F.concat(F.lit("note entry number "), F.col("k"), F.lit(" plain")),
+        ).alias("text"),
+    )
+    return with_structured_compression(planted, "text", "compact").select(
         "event_id", "compact"
     )
 
@@ -751,20 +823,45 @@ def q_session_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kmeans_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-means coarse partition + medoid prune over embeddings with a
-    planted near-copy of every 10th vector (reference `analyze` path,
-    kmeans.go:80-118; rows-only — iterative clustering)."""
+    """k-means coarse partition + medoid prune (reference `analyze`
+    path, kmeans.go:80-118) — value-checked via a restricted planted
+    config (round-2 VERDICT guidance: pin iterative operators where a
+    closed form exists; the general data-dependent path is covered by
+    pytest in tests/test_vectors_select.py).
+
+    Planted geometry: 8 orthogonal axis clusters (cluster = vec_id % 8,
+    vector = the unit axis — bit-identical across a cluster's pure
+    members, so the medoid tie-break on id is exact, no float jitter),
+    init centroids pinned to vec_ids 0..7. Pure members are at cosine
+    distance 0 within a cluster and 1 across; the sparse 'mixed'
+    members (vec_id % 25 == 3, vec_id >= 10 — period coprime-ish to 8
+    so they spread ~2 per cluster and cannot outvote the pure mass in
+    the centroid) sit at (4, 3) across two adjacent axes (cosine 0.8 to
+    their axis). k-means converges in one step to the axis partition,
+    the medoid is the min-id pure member, and the medoid prune at 0.05
+    keeps exactly {medoid} + {mixed}: kept = vec_id < 8 OR the mixed
+    set — the oracle's WHERE clause."""
     from distill_spark.operators.kmeans import kmeans_dedupe
 
-    em = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    near = em.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform(
-            "embedding", lambda x: (x * F.lit(1.001)).cast("float")
+    em = _t(spark, sf_dir, "embeddings").select("vec_id")
+    planted = em.select(
+        "vec_id",
+        F.expr(
+            """
+            transform(sequence(0, 63), i -> CAST(
+              CASE
+                WHEN vec_id % 25 = 3 AND vec_id >= 10 THEN
+                  CASE WHEN i = vec_id % 8 THEN 4.0
+                       WHEN i = (vec_id % 8 + 1) % 8 THEN 3.0
+                       ELSE 0.0 END
+                WHEN i = vec_id % 8 THEN 1.0
+                ELSE 0.0
+              END AS FLOAT))
+            """
         ).alias("embedding"),
     )
-    corpus = em.unionByName(near)
-    kept = kmeans_dedupe(corpus, threshold=0.05, k=16, seed=7)
+    kept = kmeans_dedupe(planted, threshold=0.05,
+                         init_ids=[0, 1, 2, 3, 4, 5, 6, 7])
     return kept.select("vec_id")
 
 
@@ -1213,11 +1310,50 @@ def oracle_sql() -> dict[str, str]:
                    round(stddev_pop(v), 4) AS contrast
             FROM px GROUP BY doc_id
         """,
-        # extractive_compress / mmr_rerank / structured_compress /
-        # session_budget / kmeans_unique: non-SQL-expressible
-        # (skip-and-continue greedy knapsack, structural JSON walker,
-        # stateful session escalation, iterative clustering)
-        # -> rows-only checks.
+        "extractive_compress": _extractive_compress_sql(),
+        "session_budget": _session_budget_sql(),
+        # lambda=1.0 restricted config: MMR reduces to normalized-
+        # relevance top-k == ORDER BY score DESC, id ASC LIMIT 8
+        # (see q_mmr_rerank docstring; diversity path pinned by pytest)
+        "mmr_rerank": """
+            WITH top20 AS (
+              SELECT printf('doc%07d', doc_id) AS image_id, n_chars
+              FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+            ), r AS (
+              SELECT image_id,
+                     row_number() OVER (ORDER BY n_chars DESC, image_id ASC)
+                       AS mmr_rank
+              FROM top20
+            )
+            SELECT image_id, mmr_rank FROM r WHERE mmr_rank <= 8
+        """,
+        # planted orthogonal-axis clusters with pinned init centroids:
+        # the fixed point is closed-form (see q_kmeans_unique docstring)
+        "kmeans_unique": """
+            SELECT vec_id FROM embeddings
+            WHERE vec_id < 8 OR (vec_id % 25 = 3 AND vec_id >= 10)
+        """,
+        # planted one-shape-per-branch inputs (see q_structured_compress
+        # docstring): the compact output is closed-form per branch
+        "structured_compress": """
+            WITH e AS (
+              SELECT event_id,
+                     CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+              FROM events
+            )
+            SELECT event_id,
+              CASE CAST(event_id % 4 AS INTEGER)
+                WHEN 0 THEN '{"a":' || k || ',"b":[' || (k+1) || ',' || (k+2)
+                         || ',' || (k+3) || ',"...2 more"],"c":{"d":"{...2 keys}"},"s":"'
+                         || repeat('x', 77) || '..."}'
+                WHEN 1 THEN '<xml ' || (31 + 13 * (k % 3 + 1)) || ' chars: itemx'
+                         || (k % 3 + 1) || ', notex1, rootx1>'
+                WHEN 2 THEN '<table ' || (k % 4 + 3)
+                         || ' rows x 3 cols: id|name|val>'
+                ELSE 'note entry number ' || k || ' plain'
+              END AS compact
+            FROM e
+        """,
     }
 
 
@@ -1287,6 +1423,237 @@ def _hierarchical_summaries_sql() -> str:
         LEFT JOIN l1 USING (doc_id)
         LEFT JOIN l2 USING (doc_id)
         LEFT JOIN s3 ON s3.doc_id = d.doc_id
+    """
+
+
+def _extractive_compress_sql() -> str:
+    """DuckDB replica of functions.compress.extractive_compress over the
+    planted sentence structure (text || ' ' || doc_id, every 5th word
+    terminated '. '): sentence split via the chr(1) marker (RE2 has no
+    lookbehind), integer x100 scores (position 30/15, length-band 30/10,
+    digit 20 — bit-identical ranking to the python float sums, which are
+    one fixed op order over multiples of 0.05), budget = est//2, and the
+    skip-and-continue greedy (extractive.go:82-108) as a recursive CTE
+    stepping through the score-ranked sentences carrying (used, taken)."""
+    ws = "' '||chr(9)||chr(10)||chr(13)"
+    return f"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id,
+                 regexp_replace(coalesce(text, '') || ' ' || doc_id,
+                                '((\\S+ ){{4}}\\S+) ', '\\1. ', 'g') AS t
+          FROM documents
+        ),
+        sp AS (
+          SELECT doc_id, t,
+                 list_filter(
+                   string_split(
+                     regexp_replace(t, '([.!?])\\s+', '\\1'||chr(1), 'g'),
+                     chr(1)),
+                   x -> trim(x, {ws}) <> '') AS sents
+          FROM d
+        ),
+        meta AS (
+          SELECT doc_id, t, sents, len(sents) AS ns,
+                 greatest(((length(t) + 3) // 4) // 2, 1) AS budget
+          FROM sp
+        ),
+        sx AS (
+          SELECT doc_id, unnest(sents) AS s,
+                 generate_subscripts(sents, 1) AS i
+          FROM meta WHERE length(t) >= 100 AND ns > 1
+        ),
+        sc AS (
+          SELECT doc_id, i, s, (length(s) + 3) // 4 AS cost,
+            (CASE WHEN i = 1 THEN 30
+                  WHEN i = max(i) OVER (PARTITION BY doc_id) THEN 15
+                  ELSE 0 END)
+            + (CASE WHEN length(s) BETWEEN 40 AND 200 THEN 30
+                    WHEN length(s) > 20 THEN 10 ELSE 0 END)
+            + (CASE WHEN regexp_matches(s, '[0-9]') THEN 20 ELSE 0 END)
+              AS score
+          FROM sx
+        ),
+        rk AS (
+          SELECT doc_id, i, s, cost,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, i ASC) AS r
+          FROM sc
+        ),
+        g AS (
+          SELECT m.doc_id, 0::BIGINT AS r, 0::BIGINT AS used,
+                 FALSE AS taken, 0::BIGINT AS slen, m.budget
+          FROM meta m WHERE length(m.t) >= 100 AND m.ns > 1
+          UNION ALL
+          SELECT rk.doc_id, rk.r,
+                 CASE WHEN g.used > 0 AND g.used + rk.cost > g.budget
+                      THEN g.used ELSE g.used + rk.cost END,
+                 NOT (g.used > 0 AND g.used + rk.cost > g.budget),
+                 length(rk.s)::BIGINT, g.budget
+          FROM g JOIN rk ON rk.doc_id = g.doc_id AND rk.r = g.r + 1
+        ),
+        chosen AS (
+          SELECT doc_id, sum(slen) + count(*) - 1 AS out_len
+          FROM g WHERE taken GROUP BY doc_id
+        )
+        SELECT m.doc_id,
+               (CASE WHEN length(m.t) < 100 OR m.ns <= 1 THEN length(m.t)
+                     ELSE c.out_len END)::BIGINT AS n_chars_out
+        FROM meta m LEFT JOIN chosen c ON c.doc_id = m.doc_id
+    """
+
+
+def _session_budget_sql() -> str:
+    """DuckDB replica of SessionStore.push + _enforce_budget_pdf over
+    the 30-doc session (q_session_budget). The sequential pass loop
+    (sqlite.go:484-581: while over budget, escalate candidates one
+    level per pass in importance-ASC order, early-break when the
+    running total fits) FLATTENS to a single window: steps ordered by
+    (level, importance, seq), step executes iff the running total
+    before it is still over budget — valid because (a) nothing is
+    evicted at this budget (verified: the full level-3 state fits) so
+    the candidate set (seq <= N - preserve_recent) is fixed, and (b)
+    once the total fits, every later step sees before <= budget and
+    skips, exactly like the sequential early-break. Negative savings
+    (the keyword line can exceed the first-sentence cut) are handled:
+    the flattening never assumes monotonicity, only order.
+
+    The push-dedup stage is replicated too (sqlite.go:441-481 probe
+    order): entry i is rejected iff its exact 3-gram-shingle Jaccard
+    vs an EARLIER ACCEPTED entry is >= 0.85 — a 30-step recursive walk
+    carrying the accepted list (at sf0.001 one document really is
+    rejected, shifting every later seq; a seq-blind oracle misses it).
+    seq/importance/candidate-window all derive from the accepted list.
+
+    Ladder closed forms for THIS corpus (no [.!?] in documents.text):
+    level 1 extractive = identity (single-sentence bypass,
+    extractive.go:38-43); level 2 = 50-char word-boundary cut + '...'
+    (sqlite.go:625-640); level 3 = first 15 distinct >=4-char
+    non-stopword words joined ', ' (sqlite.go:643-660)."""
+    from distill_spark.session_store import _STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS))
+    punct = """.,;:!?"''()[]{}"""
+    ws = "' '||chr(9)||chr(10)||chr(13)"
+    return f"""
+        WITH RECURSIVE e0 AS (
+          SELECT doc_id, coalesce(text, '') AS t
+          FROM documents WHERE doc_id < 30
+        ),
+        tokz AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(t), '[^a-z0-9]+'),
+                             x -> x <> '') AS ts
+          FROM e0
+        ),
+        shz AS (
+          SELECT doc_id,
+            CASE WHEN len(ts) >= 3 THEN
+                   list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                  for i in generate_series(1, len(ts)-2)])
+                 WHEN len(ts) >= 1 THEN [array_to_string(ts, ' ') || '#short']
+                 ELSE [] END AS shingles
+          FROM tokz
+        ),
+        dup_pairs AS (
+          SELECT a.doc_id AS a, b.doc_id AS b
+          FROM shz a JOIN shz b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
+                / (len(a.shingles) + len(b.shingles)
+                   - len(list_intersect(a.shingles, b.shingles))) >= 0.85
+        ),
+        eb AS (SELECT b, list(a ORDER BY a) AS alist FROM dup_pairs GROUP BY b),
+        walk(i, accepted) AS (
+          SELECT -1::BIGINT, CAST([] AS BIGINT[])
+          UNION ALL
+          SELECT walk.i + 1,
+            CASE WHEN len(list_intersect(
+                       coalesce(eb.alist, CAST([] AS BIGINT[])),
+                       walk.accepted)) > 0
+                 THEN walk.accepted
+                 ELSE list_append(walk.accepted, walk.i + 1) END
+          FROM walk LEFT JOIN eb ON eb.b = walk.i + 1
+          WHERE walk.i < 29
+        ),
+        acc AS (
+          SELECT unnest(accepted) AS doc_id,
+                 generate_subscripts(accepted, 1)::BIGINT AS seq
+          FROM (SELECT accepted FROM walk WHERE i = 29)
+        ),
+        nacc AS (SELECT max(seq) AS n FROM acc),
+        e AS (
+          SELECT e0.doc_id, e0.t, acc.seq,
+                 0.3 + (e0.doc_id % 5) / 10.0 AS importance,
+                 (length(e0.t) + 3) // 4 AS tok0
+          FROM e0 JOIN acc USING (doc_id)
+        ),
+        fs AS (
+          SELECT doc_id,
+            CASE WHEN length(t) <= 50 THEN tok0
+                 WHEN strpos(reverse(substr(t, 1, 51)), ' ') = 0
+                   THEN (length(trim(substr(t, 1, 50), {ws})) + 3 + 3) // 4
+                 ELSE (length(trim(substr(t, 1,
+                         51 - strpos(reverse(substr(t, 1, 51)), ' ')), {ws}))
+                       + 3 + 3) // 4
+            END AS tok2
+          FROM e
+        ),
+        w AS (
+          SELECT doc_id, unnest(ws_) AS w, generate_subscripts(ws_, 1) AS i
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(t, '\\s+'),
+                                   x -> x <> '') AS ws_
+                FROM e)
+        ),
+        f AS (
+          SELECT doc_id, kw, i FROM (
+            SELECT doc_id, trim(lower(w), '{punct}') AS kw, i FROM w)
+          WHERE kw <> '' AND length(kw) >= 4 AND kw NOT IN ({stoplist})
+        ),
+        fk AS (SELECT doc_id, kw, min(i) AS fi FROM f GROUP BY doc_id, kw),
+        rk3 AS (
+          SELECT doc_id, kw,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY fi) AS rn
+          FROM fk
+        ),
+        k3 AS (
+          SELECT doc_id,
+                 (sum(length(kw)) + 2 * (count(*) - 1) + 3) // 4 AS tok3
+          FROM rk3 WHERE rn <= 15 GROUP BY doc_id
+        ),
+        lad AS (
+          SELECT e.doc_id, e.seq, e.importance, e.tok0, e.tok0 AS tok1,
+                 fs.tok2, coalesce(k3.tok3, 0) AS tok3
+          FROM e JOIN fs USING (doc_id) LEFT JOIN k3 USING (doc_id)
+        ),
+        tot AS (SELECT sum(tok0) AS t0 FROM lad),
+        steps AS (
+          SELECT doc_id, seq, importance, lv.L,
+                 CASE lv.L WHEN 1 THEN tok0 - tok1
+                           WHEN 2 THEN tok1 - tok2
+                           ELSE tok2 - tok3 END AS sav
+          FROM lad, (VALUES (1), (2), (3)) AS lv(L)
+          WHERE seq <= (SELECT n FROM nacc) - 5
+        ),
+        run AS (
+          SELECT doc_id, seq, L,
+                 (SELECT t0 FROM tot)
+                   - coalesce(sum(sav) OVER (
+                       ORDER BY L, importance, seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS before
+          FROM steps
+        ),
+        lvl AS (
+          SELECT doc_id, seq,
+                 coalesce(max(CASE WHEN before > 2000 THEN L END), 0) AS level
+          FROM run GROUP BY doc_id, seq
+        )
+        SELECT l.seq::BIGINT AS seq,
+               coalesce(v.level, 0)::BIGINT AS level,
+               (CASE coalesce(v.level, 0)
+                  WHEN 0 THEN l.tok0 WHEN 1 THEN l.tok1
+                  WHEN 2 THEN l.tok2 ELSE l.tok3 END)::BIGINT AS tokens
+        FROM lad l LEFT JOIN lvl v USING (doc_id, seq)
     """
 
 

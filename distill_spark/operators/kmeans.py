@@ -63,27 +63,46 @@ def kmeans_partition(
     dim: int | None = None,
     max_iters: int = 10,
     seed: int = 42,
+    init_ids: list | None = None,
 ) -> tuple[DataFrame, np.ndarray]:
     """-> (assignments(id, cluster), centroids (K x dim)).
 
     K defaults to sqrt(N/2) (kmeans.go:86-92). Deterministic: seeded
     initial centroids sampled by hash order, fixed iteration count with
-    early exit on convergence."""
+    early exit on convergence. init_ids pins the initial centroids to
+    the rows with those ids, in the given order (the explicit-seeding
+    analog of the reference's seeded RNG init, kmeans.go:120-140) —
+    used by callers that need a reproducible, oracle-checkable fixed
+    point (e.g. planted well-separated clusters converge in one
+    iteration to the argmin-over-init-centroids assignment)."""
     n = df.count()
     if n == 0:
         return df.select(F.col(id_col), F.lit(0).alias("cluster")), np.zeros((0, 0))
-    if k is None:
-        k = max(int(math.sqrt(n / 2)), 1)
-    k = min(k, n)
-
-    # seeded init: first k rows in xxhash64(id, seed) order (deterministic
-    # "random selection" without a driver-side RNG over the full data)
-    init = (
-        df.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-        .limit(k)
-        .collect()
-    )
+    if init_ids is not None:
+        k = len(init_ids)
+        rows = {
+            r[id_col]: r
+            for r in df.select(id_col, vec_col)
+            .filter(F.col(id_col).isin(list(init_ids)))
+            .collect()
+        }
+        missing = [i for i in init_ids if i not in rows]
+        if missing:
+            raise ValueError(f"init_ids not present in the data: {missing[:5]}")
+        init = [rows[i] for i in init_ids]
+    else:
+        if k is None:
+            k = max(int(math.sqrt(n / 2)), 1)
+        k = min(k, n)
+        # seeded init: first k rows in xxhash64(id, seed) order
+        # (deterministic "random selection" without a driver-side RNG
+        # over the full data)
+        init = (
+            df.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+            .limit(k)
+            .collect()
+        )
     centroids = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in init])
     if dim is None:
         dim = centroids.shape[1]
@@ -135,6 +154,7 @@ def kmeans_dedupe(
     vec_col: str = "embedding",
     max_iters: int = 10,
     seed: int = 42,
+    init_ids: list | None = None,
 ) -> DataFrame:
     """Reference `analyze`/Deduplicate semantics (kmeans.go:80-118):
     k-means coarse partition, then keep per cluster the medoid plus
@@ -143,7 +163,8 @@ def kmeans_dedupe(
     from .select import medoid_prune
 
     assigned, _ = kmeans_partition(df, k, id_col, vec_col,
-                                   max_iters=max_iters, seed=seed)
+                                   max_iters=max_iters, seed=seed,
+                                   init_ids=init_ids)
     joined = df.join(assigned, id_col).withColumnRenamed("cluster", "component")
     kept = medoid_prune(joined, threshold, id_col=id_col,
                         component_col="component", vec_col=vec_col)

@@ -93,6 +93,51 @@ def test_mmr_prefers_diverse(spark):
     assert coverage_score([BASE, NEAR, FAR], [BASE, FAR]) > 0.8
 
 
+def test_mmr_matches_bruteforce(spark):
+    """Pin the general-lambda MMR greedy against an independent
+    brute-force replication of mmr.go:50-136 (min-max normalize,
+    score = lam*rel - (1-lam)*max_sim_to_selected, ties -> lower id).
+    The driver query runs the lambda=1.0 closed form; this covers the
+    diversity path the SQL oracle can't express."""
+    import random
+
+    from distill_spark.config import DEFAULT
+    from distill_spark.oracle import shingle_set, jaccard
+
+    rng = random.Random(42)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    rows = [
+        (f"d{i:02d}",
+         " ".join(rng.choice(words) for _ in range(rng.randint(6, 14))),
+         float(rng.randint(1, 100)))
+        for i in range(15)
+    ]
+    for lam in (0.0, 0.3, 0.5, 0.7):
+        df = spark.createDataFrame(rows, "image_id string, caption string, score double")
+        got = [r["image_id"]
+               for r in mmr_rerank(df, k=6, lam=lam).orderBy("mmr_rank").collect()]
+
+        # independent brute force
+        ids = [r[0] for r in rows]
+        sets = [shingle_set(r[1], DEFAULT) for r in rows]
+        s = [r[2] for r in rows]
+        lo, hi = min(s), max(s)
+        rel = [(x - lo) / (hi - lo) if hi > lo else 1.0 for x in s]
+        selected, remaining = [], list(range(len(ids)))
+        while remaining and len(selected) < 6:
+            best, best_score = None, float("-inf")
+            for i in remaining:
+                ms = max((jaccard(sets[i], sets[j]) for j in selected), default=0.0)
+                m = lam * rel[i] - (1 - lam) * ms
+                if m > best_score or (m == best_score and ids[i] < ids[best]):
+                    best, best_score = i, m
+            selected.append(best)
+            remaining.remove(best)
+        want = [ids[i] for i in selected]
+        assert got == want, f"lam={lam}: {got} != {want}"
+
+
 def test_compression(spark):
     df = spark.createDataFrame(
         [("d1", "Basically, this is very important. " * 8 + "Numbers like 42 matter. End.")],
