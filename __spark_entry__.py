@@ -175,15 +175,21 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs: word-3-gram Jaccard >= 0.5 (the verify
     stage of the pipeline, SQL-checkable with string shingles).
 
-    Plan notes (round-2 rewrite; was the slowest bench query at 58 s for
-    a 500-doc corpus): shingles are xxhash64'd BEFORE the exchange (8 B
-    keys instead of ~25 B strings, same Jaccard modulo ~N^2/2^64
-    collision risk shared with the engine), and the self-join is
-    replaced by ONE groupBy(shingle) + JVM-side sorted-array pair
-    expansion + count — the pairs_from_buckets shape. Exact pairwise
-    Jaccard is inherently quadratic in shingle popularity; the ENGINE
-    path bounds that with LSH banding (this query is the oracle-checked
-    verification of the verify stage, not the scale path)."""
+    Plan notes (round-3 rewrite — prefix filtering): round 2's single
+    groupBy(shingle) + all-pairs expansion was still popularity-
+    quadratic (one boilerplate shingle shared by m docs emitted m^2/2
+    pairs in one task). Round 3 applies the PPJoin prefix-filtering
+    principle (Xiao et al., WWW'08; Bayardo et al., WWW'07): with
+    shingles globally ordered by (document frequency, hash), a pair
+    with J >= t MUST share a shingle inside each doc's first
+    |x| - ceil(t*|x|) + 1 shingles (since J >= t implies overlap
+    >= ceil(t*|x|) and >= ceil(t*|y|)). Candidates therefore come only
+    from rare-prefix buckets; the exact intersection is then computed
+    per candidate pair with one hash-set array_intersect over the two
+    (hashed, distinct) shingle arrays — output identical to the
+    brute-force formulation, verified by the unchanged oracle. Shingles
+    are xxhash64'd before any exchange (8 B keys, same ~N^2/2^64
+    collision risk the engine accepts)."""
     from distill_spark.operators.lsh import _allpairs_expr
 
     c = _corpus(spark, sf_dir).withColumn("ts", _TOKENS_SPARK("text"))
@@ -203,27 +209,46 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
-        .select("id", "shingles")
+        .select("id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs"))
+        .persist()
     )
-    ex = sh.select("id", F.explode("shingles").alias("s")).select(
-        "id", F.xxhash64("s").alias("h")
+    ex = sh.select("id", F.explode("hs").alias("h"))
+    freq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc prefix of the (df, h)-rarest shingles
+    pref = (
+        ex.join(freq, "h")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("fs"))
+        .select(
+            "id",
+            F.explode(
+                F.expr(
+                    "slice(fs, 1, size(fs) - cast(ceil(size(fs) * 0.5) AS INT) + 1)"
+                )
+            ).alias("p"),
+        )
+        .select("id", F.col("p.h").alias("h"))
     )
-    sizes = sh.select("id", F.size("shingles").alias("sz"))
-    inter = (
-        ex.groupBy("h")
+    cand = (
+        pref.groupBy("h")
         .agg(F.sort_array(F.collect_list("id")).alias("_ids"))
         .filter(F.size("_ids") > 1)
         .select(F.explode(_allpairs_expr(None)).alias("p"))
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("i"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .dropDuplicates(["a", "b"])
     )
-    return (
-        inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sa")), "a")
-        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sb")), "b")
-        .withColumn("jac", F.round(F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")), 6))
+    out = (
+        cand.join(sh.select(F.col("id").alias("a"), F.col("hs").alias("ha")), "a")
+        .join(sh.select(F.col("id").alias("b"), F.col("hs").alias("hb")), "b")
+        .withColumn("i", F.size(F.array_intersect("ha", "hb")))
+        .withColumn(
+            "jac",
+            F.round(F.col("i") / (F.size("ha") + F.size("hb") - F.col("i")), 6),
+        )
         .filter(F.col("jac") >= 0.5)
         .select("a", "b", "jac")
     )
+    return out
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
