@@ -67,6 +67,15 @@ class DedupConfig:
                                    # | "jvm" (explode + agg formulation)
     lcs_impl: str = "exact"        # "exact" (pandas) | "jvm" (arrays_overlap)
     winnow_impl: str = "numpy"     # "numpy" | "jvm"
+    int_ids: bool = True           # hash string ids to int64 (xxhash64) at
+                                   # pipeline ingest: every candidate/verify/
+                                   # CC exchange shuffles 8 B longs instead of
+                                   # strings; originals are joined back at the
+                                   # end and components are relabeled to the
+                                   # min ORIGINAL id, so outputs are identical.
+                                   # Collision risk N^2/2^65 false merges
+                                   # (~3e-8 at 1M rows) — the same budget the
+                                   # engine already accepts for hashed shingles
     simhash_preverify: bool = True # exact Hamming filter before Jaccard verify
     persist_shingles: bool = False # caching the shared shingle stage forces
                                    # materialization + blocks per-consumer

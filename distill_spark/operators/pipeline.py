@@ -59,14 +59,17 @@ class DedupResult:
     edges: DataFrame            # verified dup pairs (a, b)
     conflicts: DataFrame | None # band pairs (a, b, jaccard)
     stats: DataFrame            # 1-row counts/reduction
+    cached: DataFrame | None = None  # the persisted internal edge frame
 
     def unpersist(self) -> None:
         """Release the caches dedupe() created (edges + signature stage);
         long sessions running many dedupe() calls should call this."""
-        try:
-            self.edges.unpersist()
-        except Exception:
-            pass
+        for df in (self.cached, self.edges):
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
 
 
 def candidate_edges(
@@ -202,7 +205,10 @@ def candidate_edges(
     for e in edge_parts[1:]:
         edges = edges.unionByName(e)
     edges = edges.dropDuplicates(["a", "b"])
-    empty_pairs = meta.sparkSession.createDataFrame([], "a string, b string")
+    id_sql_type = meta.schema[id_col].dataType.simpleString()
+    empty_pairs = meta.sparkSession.createDataFrame(
+        [], f"a {id_sql_type}, b {id_sql_type}"
+    )
     return edges, (jac_cand if jac_cand is not None else empty_pairs)
 
 
@@ -216,17 +222,73 @@ def dedupe(
     rep_strategy: str | None = None,
     with_conflicts: bool = False,
 ) -> DedupResult:
+    from pyspark.sql import types as T
+
     # column-pruning discipline: only (id, caption, phash) go downstream
     cols = [id_col, caption_col] + ([phash_col] if phash_col else [])
     meta = images.select(*cols)
 
-    edges, jac_cand = candidate_edges(meta, cfg, id_col, caption_col, phash_col, channels)
+    # shuffle-bytes discipline (round 3): hash string ids to int64 at
+    # ingest so every exchange in the candidate/verify/CC stages moves
+    # 8 B longs, not strings. xxhash64 is deterministic, so the id map
+    # is DERIVABLE — nothing to materialize — and only the (small,
+    # dup-population-sized) edge-touching assignments are mapped back
+    # with joins; the singleton majority gets its component via one
+    # broadcastable left join. Outputs are bit-identical to the string
+    # path: the edge SET is order-independent (recall-1 channels are
+    # set-exact; the LSH channel's band union rescues any star-capped
+    # bucket) and components are relabeled to the min ORIGINAL id.
+    use_int = (
+        cfg.int_ids
+        and isinstance(meta.schema[id_col].dataType, T.StringType)
+    )
+    meta_i = (
+        meta.withColumn(id_col, F.xxhash64(F.col(id_col))) if use_int else meta
+    )
+
+    edges_i, jac_cand = candidate_edges(meta_i, cfg, id_col, caption_col, phash_col, channels)
     # edges feed CC (which materializes them via checkpoint) AND are part of
     # the result — persist so user actions on result.edges don't re-run the
     # whole candidate+verify DAG.
-    edges = edges.persist()
+    edges_i = edges_i.persist()
 
-    assignments = connected_components(edges, nodes=meta.select(id_col), id_col=id_col, cfg=cfg)
+    if use_int:
+        idmap = meta.select(id_col, F.xxhash64(F.col(id_col)).alias("__iid"))
+        # CC over edge-touching nodes only, in int space
+        cc_edge = connected_components(edges_i, nodes=None, id_col="__iid",
+                                       out_col="__icomp", cfg=cfg)
+        cc_s = cc_edge.join(idmap, "__iid")
+        comp_names = cc_s.groupBy("__icomp").agg(
+            F.min(id_col).alias("__comp_name")
+        )
+        edge_assign = cc_s.join(comp_names, "__icomp").select(
+            id_col, F.col("__comp_name").alias("component")
+        )
+        assignments = (
+            meta.select(id_col)
+            .join(edge_assign, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("component", F.col(id_col)).alias("component"),
+            )
+        )
+        edges = (
+            edges_i.join(
+                idmap.select(F.col("__iid").alias("a"), F.col(id_col).alias("__sa")), "a"
+            )
+            .join(
+                idmap.select(F.col("__iid").alias("b"), F.col(id_col).alias("__sb")), "b"
+            )
+            .select(
+                F.least("__sa", "__sb").alias("a"),
+                F.greatest("__sa", "__sb").alias("b"),
+            )
+        )
+    else:
+        assignments = connected_components(
+            edges_i, nodes=meta.select(id_col), id_col=id_col, cfg=cfg
+        )
+        edges = edges_i
 
     reps = representatives(
         assignments,
@@ -238,8 +300,22 @@ def dedupe(
 
     conflicts = None
     if with_conflicts:
-        shingled = with_shingles(meta.select(id_col, caption_col), caption_col, "shingles", cfg)
+        shingled = with_shingles(meta_i.select(id_col, caption_col), caption_col, "shingles", cfg)
         conflicts = conflict_band(jac_cand, shingled.select(id_col, "shingles"), cfg, "shingles", id_col)
+        if use_int:
+            conflicts = (
+                conflicts.join(
+                    idmap.select(F.col("__iid").alias("a"), F.col(id_col).alias("__sa")), "a"
+                )
+                .join(
+                    idmap.select(F.col("__iid").alias("b"), F.col(id_col).alias("__sb")), "b"
+                )
+                .select(
+                    F.least("__sa", "__sb").alias("a"),
+                    F.greatest("__sa", "__sb").alias("b"),
+                    "jaccard",
+                )
+            )
 
     return DedupResult(
         assignments=assignments,
@@ -247,4 +323,5 @@ def dedupe(
         edges=edges,
         conflicts=conflicts,
         stats=cluster_stats(assignments),
+        cached=edges_i,
     )

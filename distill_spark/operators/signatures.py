@@ -139,7 +139,7 @@ def with_signatures(
     want_mh = "minhash" in parts
     want_sim = "simhash" in parts
 
-    fields = [T.StructField(id_col, T.StringType())]
+    fields = [T.StructField(id_col, df.schema[id_col].dataType)]
     if want_sh:
         fields.append(T.StructField("shingles", T.ArrayType(T.LongType())))
     if want_mh:

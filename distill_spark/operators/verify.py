@@ -175,4 +175,12 @@ def verify_lcs_exact(
                 )
             yield pdf.loc[keep, ["a", "b"]]
 
-    return attached.mapInPandas(batch, schema="a string, b string")
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("a", pairs.schema["a"].dataType),
+            T.StructField("b", pairs.schema["b"].dataType),
+        ]
+    )
+    return attached.mapInPandas(batch, schema=out_schema)

@@ -135,9 +135,11 @@ def refine_oversized(
         F.collect_set(F.col(fp_col)).alias("_fps")
     )
     joined = grouped.join(captions.select(id_col, caption_col), id_col)
+    id_type = members.schema[id_col].dataType
+    id_pd_dtype = "string" if isinstance(id_type, T.StringType) else "Int64"
     schema = T.StructType(
         [
-            T.StructField(id_col, T.StringType()),
+            T.StructField(id_col, id_type),
             T.StructField(fp_col, T.LongType()),
             T.StructField(out, T.LongType()),
         ]
@@ -194,7 +196,7 @@ def refine_oversized(
                         osub.append(h)
             yield pd.DataFrame(
                 {
-                    id_col: pd.array(oids, dtype="string"),
+                    id_col: pd.array(oids, dtype=id_pd_dtype),
                     fp_col: pd.array(ofps, dtype="Int64"),
                     out: pd.array(osub, dtype="Int64"),
                 }
