@@ -61,6 +61,11 @@ class DedupConfig:
 
     # --- connected components ---
     cc_max_iters: int = 50
+    cc_reliable_checkpoint: bool = False  # True: per-iteration frontier goes
+                                   # through reliable checkpoint() (survives
+                                   # executor loss on a real cluster) instead
+                                   # of localCheckpoint(); needs checkpoint_dir
+    checkpoint_dir: str | None = None  # HDFS/S3 dir for reliable checkpoints
 
     # --- execution toggles (A/B-able) ---
     sig_impl: str = "numpy"        # "numpy" (one-pass Arrow UDF, no shuffle)

@@ -1,0 +1,199 @@
+"""Pluggable embedding-column providers — the seam that lets every
+operator taking an `embedding` column work without a precomputed one.
+
+Reference: /root/reference/pkg/embedding —
+  Provider interface (Embed/EmbedBatch/Dimension/ModelName)
+      interface.go:17-31
+  CachedProvider: bounded map cache, insert-only-under-limit,
+  batch path embeds only the uncached tail      interface.go:33-116
+  registry: RegisterFactory / NewProvider, custom factories override
+  built-ins, cache wrap by default (size 10000, <0 disables)
+      registry.go:40-111
+
+Spark shape: a provider is a small picklable object; `with_embeddings`
+ships it to executors inside one mapInPandas pass, so each executor
+keeps its own provider cache (the distributed analog of the
+reference's in-process map — cache hits are per-executor, which is
+what you want: no coordination, and hot duplicate texts ARE colocated
+after any groupBy). The network providers the reference ships
+(openai/ollama/cohere HTTP clients) are registered as named factories
+that raise with instructions — this sandbox has no network and a
+100 TB pipeline should not embed via per-row HTTP either; the
+deterministic `hash_projection` provider is the in-repo default so
+the embedding channel is exercisable end-to-end."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+class EmbeddingProvider:
+    """Interface mirror of pkg/embedding/interface.go:17-31."""
+
+    def embed(self, text: str) -> np.ndarray:
+        return self.embed_batch([text])[0]
+
+    def embed_batch(self, texts: list[str]) -> list[np.ndarray]:
+        raise NotImplementedError
+
+    def dimension(self) -> int:
+        raise NotImplementedError
+
+    def model_name(self) -> str:
+        raise NotImplementedError
+
+
+class HashProjectionProvider(EmbeddingProvider):
+    """Deterministic, network-free provider: bag-of-token feature
+    hashing with signed projection, L2-normalized. Two texts sharing
+    tokens get high cosine; disjoint texts are near-orthogonal — enough
+    structure for dedup/recall plumbing to be tested end-to-end, and a
+    legitimate cheap baseline at 100 TB (no model inference)."""
+
+    def __init__(self, dim: int = 64, seed: int = 42):
+        self._dim, self._seed = dim, seed
+
+    def _token_vec(self, tok: str) -> tuple[int, float]:
+        h = int.from_bytes(
+            hashlib.blake2b(
+                f"{self._seed}:{tok}".encode(), digest_size=8
+            ).digest(),
+            "big",
+        )
+        return h % self._dim, 1.0 if (h >> 32) & 1 else -1.0
+
+    def embed_batch(self, texts: list[str]) -> list[np.ndarray]:
+        out = []
+        for t in texts:
+            v = np.zeros(self._dim, dtype=np.float64)
+            for tok in re.split(r"[^a-z0-9]+", (t or "").lower()):
+                if tok:
+                    idx, sign = self._token_vec(tok)
+                    v[idx] += sign
+            n = np.linalg.norm(v)
+            out.append((v / n if n > 0 else v).astype(np.float32))
+        return out
+
+    def dimension(self) -> int:
+        return self._dim
+
+    def model_name(self) -> str:
+        return f"hash-projection-{self._dim}"
+
+
+class CachedProvider(EmbeddingProvider):
+    """Bounded-cache wrapper (interface.go:33-116): hits return copies,
+    inserts only while under max_size, the batch path embeds only the
+    uncached tail and merges results back in input order."""
+
+    def __init__(self, provider: EmbeddingProvider, max_size: int = 10_000):
+        self.provider = provider
+        self.max_size = max_size if max_size > 0 else 10_000
+        self._cache: dict[str, np.ndarray] = {}
+
+    def embed_batch(self, texts: list[str]) -> list[np.ndarray]:
+        results: list[np.ndarray | None] = [None] * len(texts)
+        missing: list[str] = []
+        missing_idx: list[int] = []
+        for i, t in enumerate(texts):
+            hit = self._cache.get(t)
+            if hit is not None:
+                results[i] = hit.copy()
+            else:
+                missing.append(t)
+                missing_idx.append(i)
+        if missing:
+            fresh = self.provider.embed_batch(missing)
+            for i, t, v in zip(missing_idx, missing, fresh):
+                results[i] = v
+                if len(self._cache) < self.max_size:
+                    self._cache[t] = v.copy()
+        return results  # type: ignore[return-value]
+
+    def cache_size(self) -> int:
+        return len(self._cache)
+
+    def dimension(self) -> int:
+        return self.provider.dimension()
+
+    def model_name(self) -> str:
+        return self.provider.model_name()
+
+
+def _network_stub(kind: str) -> Callable[[dict], EmbeddingProvider]:
+    def factory(cfg: dict) -> EmbeddingProvider:
+        raise ImportError(
+            f"embedding provider '{kind}' is an HTTP client in the reference "
+            "(pkg/embedding/" + kind + ") — no network in this environment, "
+            "and a cluster pipeline should precompute embeddings as a column "
+            "or register a local factory via register_factory(); the "
+            "'hash_projection' provider works everywhere"
+        )
+
+    return factory
+
+
+_FACTORIES: dict[str, Callable[[dict], EmbeddingProvider]] = {
+    "hash_projection": lambda cfg: HashProjectionProvider(
+        dim=int(cfg.get("dim", 64)), seed=int(cfg.get("seed", 42))
+    ),
+    "openai": _network_stub("openai"),
+    "ollama": _network_stub("ollama"),
+    "cohere": _network_stub("cohere"),
+}
+
+
+def register_factory(kind: str, factory: Callable[[dict], EmbeddingProvider]) -> None:
+    """registry.go:48-52 — custom factories override built-ins."""
+    _FACTORIES[kind] = factory
+
+
+def new_provider(cfg: dict) -> EmbeddingProvider:
+    """registry.go:54-91: build by cfg['type'], wrap in the cache unless
+    cfg['cache_size'] < 0 (0/absent -> default 10000)."""
+    kind = cfg.get("type", "")
+    if not kind:
+        raise ValueError("embedding provider type is required")
+    factory = _FACTORIES.get(kind)
+    if factory is None:
+        raise ValueError(
+            f"unknown embedding provider {kind!r}; supported: "
+            + ", ".join(sorted(_FACTORIES))
+        )
+    p = factory(cfg)
+    cache_size = int(cfg.get("cache_size", 0))
+    if cache_size < 0:
+        return p
+    return CachedProvider(p, cache_size or 10_000)
+
+
+def with_embeddings(
+    df: DataFrame,
+    provider: EmbeddingProvider,
+    text_col: str = "caption",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Adds `out_col: array<float>` computed by the provider in one
+    Arrow-batched map-side pass. The provider is pickled to executors;
+    its cache (if CachedProvider) lives per executor process."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
+    )
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            res = pdf.copy()
+            vecs = provider.embed_batch([t or "" for t in pdf[text_col]])
+            res[out_col] = [v.tolist() for v in vecs]
+            yield res
+
+    return df.mapInPandas(batch, schema=schema)

@@ -84,11 +84,21 @@ class StoreResult:
 class MemoryStore:
     def __init__(self, spark: SparkSession, path: str, cfg: DedupConfig | None = None,
                  dup_jaccard: float = 0.85, conflict_jaccard: float = 0.5,
-                 n_buckets: int = 16):
+                 n_buckets: int = 16, embedding_provider=None):
+        """embedding_provider (embedding.EmbeddingProvider, optional):
+        when set, every stored row also persists an `embedding` column
+        computed by the provider, and recall() scores similarity as
+        embedding cosine instead of shingle Jaccard/containment — the
+        reference's store similarity IS embedding cosine
+        (store.go:229-239); without a provider the shingle predicate is
+        the network-free stand-in. Write-time dedup stays on the exact
+        shingle channel either way (its thresholds are calibrated
+        there)."""
         self.spark, self.path = spark, path
         self.cfg = cfg or DedupConfig()
         self.dup_jaccard, self.conflict_jaccard = dup_jaccard, conflict_jaccard
         self.n_buckets = n_buckets
+        self.embedding_provider = embedding_provider
         os.makedirs(path, exist_ok=True)
         recover_dir(self._data_path())  # heal a crash from a prior run
         # lifecycle event handlers (reference OnLifecycleEvent,
@@ -133,18 +143,25 @@ class MemoryStore:
             )
         return self.spark.read.parquet(p)
 
+    def _schema(self) -> str:
+        if self.embedding_provider is not None:
+            return MEMORY_SCHEMA + ", embedding array<float>"
+        return MEMORY_SCHEMA
+
     def _raw(self) -> DataFrame:
         """Store rows WITH the bucket partition column (internal)."""
         p = self._data_path()
         recover_dir(p)
         if not has_data(p):
-            return self.spark.createDataFrame([], MEMORY_SCHEMA) \
+            return self.spark.createDataFrame([], self._schema()) \
                 .withColumn("bucket", self._bucket_expr())
         df = self.spark.read.parquet(p)
         if "minhash" not in df.columns:  # legacy store: derive once on read
             sigs = with_signatures(df.select("id", "text"), "text", "id",
                                    self.cfg, parts=("shingles", "minhash"))
             df = df.join(sigs, "id", "left")
+        if self.embedding_provider is not None and "embedding" not in df.columns:
+            df = df.withColumn("embedding", F.lit(None).cast("array<float>"))
         if "bucket" not in df.columns:  # legacy unpartitioned layout
             df = df.withColumn("bucket", self._bucket_expr())
         return df
@@ -307,6 +324,11 @@ class MemoryStore:
             sensitivity_level("text").cast("long").alias("sensitivity"),
             F.lit(0).cast("long").alias("decay_level"),
         ).join(sig_new.select("id", "shingles", "minhash"), "id", "left")
+        if self.embedding_provider is not None:
+            from .embedding import with_embeddings
+
+            inserted = with_embeddings(inserted, self.embedding_provider,
+                                       text_col="text", out_col="embedding")
 
         # persist the conflict log BEFORE mutating the store (new_id is
         # already attached — the reference's post-insert NewID backfill,
@@ -391,16 +413,29 @@ class MemoryStore:
             F.size("qsh") > 0,
             F.size(F.array_intersect(F.col("shingles"), F.col("qsh"))) / F.size("qsh"),
         ).otherwise(F.lit(0.0))
+        if self.embedding_provider is not None:
+            # embedding similarity backend (the reference's store metric,
+            # store.go:229-239): cosine vs the 1-row query embedding,
+            # evaluated as a JVM expression against a literal vector
+            from .functions.vectors import cosine_similarity
+
+            qvec = self.embedding_provider.embed(query)
+            qlit = F.array(*[F.lit(float(x)) for x in qvec]).cast("array<float>")
+            sim_expr = F.when(
+                F.col("embedding").isNotNull(),
+                cosine_similarity(F.col("embedding"), qlit),
+            ).otherwise(F.lit(0.0))
+        else:
+            sim_expr = F.greatest(
+                jaccard_col(F.col("shingles"), F.col("qsh")), containment
+            )
         scored = (
             mem.withColumn(
                 "shingles",
                 F.coalesce(F.col("shingles"), F.array().cast("array<bigint>")),
             )
             .crossJoin(F.broadcast(qsh))
-            .withColumn(
-                "sim",
-                F.greatest(jaccard_col(F.col("shingles"), F.col("qsh")), containment),
-            )
+            .withColumn("sim", sim_expr)
             .withColumn("recency", recency_score("last_referenced", now))
             .withColumn(
                 "relevance",

@@ -9,8 +9,12 @@ algorithm: iterative hash-min label propagation with pointer jumping
 rounds). Deterministic: component id = min member id (total order on
 string ids).
 
-Per-iteration localCheckpoint() cuts lineage (SURVEY.md §7.3 risk (b):
-CC lineage blowup) and materializes the frontier. The convergence probe
+Per-iteration checkpointing cuts lineage (SURVEY.md §7.3 risk (b):
+CC lineage blowup) and materializes the frontier. Default is
+localCheckpoint() (executor-local blocks — fastest, but an executor
+loss on a real cluster kills the truncated lineage); set
+cfg.cc_reliable_checkpoint=True (+ cfg.checkpoint_dir) for reliable
+checkpoint() to HDFS/S3 on cluster runs. The convergence probe
 is folded into the SAME job via df.observe() (a CollectMetrics node
 evaluated during the checkpoint action), so each iteration costs ONE
 job instead of checkpoint + count — the iteration count is the serial
@@ -36,6 +40,23 @@ def connected_components(
     """edges(a, b) [+ optional nodes(id_col) incl. singletons]
     -> (id_col, out_col) where out_col = min id of the component.
     """
+    if cfg.cc_reliable_checkpoint:
+        sc = edges.sparkSession.sparkContext
+        if cfg.checkpoint_dir:
+            sc.setCheckpointDir(cfg.checkpoint_dir)
+        elif sc.getCheckpointDir() is None:
+            raise ValueError(
+                "cc_reliable_checkpoint=True needs cfg.checkpoint_dir "
+                "(or a SparkContext checkpoint dir) — reliable checkpoints "
+                "write to HDFS/S3, there is no default location"
+            )
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -46,8 +67,8 @@ def connected_components(
     edge_nodes = sym.select(F.col("u").alias("node")).distinct()
 
     labels = edge_nodes.withColumn("label", F.col("node"))
-    labels = labels.localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)
+    labels = _ckpt(labels)
+    sym = _ckpt(sym)
 
     for _ in range(cfg.cc_max_iters):
         # hash-min: candidate label for v = min label among neighbors
@@ -91,7 +112,7 @@ def connected_components(
                 "changed"
             ),
         )
-        labels = jumped.select("node", "label").localCheckpoint(eager=True)
+        labels = _ckpt(jumped.select("node", "label"))
         changed = obs.get.get("changed") or 0
         if changed == 0:
             break

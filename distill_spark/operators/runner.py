@@ -66,11 +66,26 @@ def run_pipeline(
     id_col: str = "image_id",
     text_col: str = "caption",
     seq_col: str | None = None,
+    progress_cb=None,
 ) -> PipelineRunResult:
-    """Run dedup -> compress -> summarize over (id, text[, seq]) rows."""
+    """Run dedup -> compress -> summarize over (id, text[, seq]) rows.
+
+    progress_cb(stage_name, fraction_done) is called after each stage
+    completes (fraction over ENABLED stages) — the per-stage progress
+    feed for the async job API (jobs.JobProcessor), mirroring the
+    reference's Job.Progress (pkg/batch/batch.go:39)."""
     opts = opts or PipelineOptions()
     spark = df.sparkSession
     t_start = time.time()
+    n_enabled = sum(
+        1 for on in (opts.dedup_enabled, opts.compress_enabled, opts.summarize_enabled) if on
+    ) or 1
+    done_stages = [0]
+
+    def _tick(stage: str) -> None:
+        if progress_cb is not None:
+            done_stages[0] += 1
+            progress_cb(stage, min(done_stages[0] / n_enabled, 1.0))
 
     current = df.select(id_col, text_col, *([seq_col] if seq_col else []))
     original_tokens = _sum_tokens(current, text_col)
@@ -102,6 +117,7 @@ def run_pipeline(
             ("dedup", True, tokens_in, out_tokens,
              _reduction(tokens_in, out_tokens), round(time.time() - t0, 3))
         )
+        _tick("dedup")
         tokens_in = out_tokens
     else:
         stage_rows.append(("dedup", False, tokens_in, tokens_in, 0.0, 0.0))
@@ -126,6 +142,7 @@ def run_pipeline(
             ("compress", True, tokens_in, out_tokens,
              _reduction(tokens_in, out_tokens), round(time.time() - t0, 3))
         )
+        _tick("compress")
         tokens_in = out_tokens
     else:
         stage_rows.append(("compress", False, tokens_in, tokens_in, 0.0, 0.0))
@@ -152,6 +169,7 @@ def run_pipeline(
             ("summarize", True, tokens_in, out_tokens,
              _reduction(tokens_in, out_tokens), round(time.time() - t0, 3))
         )
+        _tick("summarize")
         tokens_in = out_tokens
     else:
         stage_rows.append(("summarize", False, tokens_in, tokens_in, 0.0, 0.0))

@@ -223,11 +223,21 @@ class SessionStore:
                  cfg: DedupConfig | None = None,
                  default_max_tokens: int = 8000,
                  default_dedup_jaccard: float = 0.85,
-                 default_preserve_recent: int = 10):
+                 default_preserve_recent: int = 10,
+                 embedding_provider=None, dedup_cosine: float = 0.95):
+        """embedding_provider (embedding.EmbeddingProvider, optional):
+        when set, entries persist an `embedding` column and the push
+        dedup probe becomes embedding cosine >= dedup_cosine — the
+        reference's isDuplicate similarity (sqlite.go:441-481) — via
+        the same linear probe it uses (sessions are bounded, reference
+        TODO <1K entries; the collect is loudly guarded). Without a
+        provider the LSH shingle probe is the network-free default."""
         self.spark, self.path = spark, path
         self.cfg = cfg or DedupConfig()
         self.defaults = (default_max_tokens, default_dedup_jaccard,
                          default_preserve_recent)
+        self.embedding_provider = embedding_provider
+        self.dedup_cosine = dedup_cosine
         os.makedirs(path, exist_ok=True)
         self._sessions: dict[str, SessionConfig] = {}
         self._load_sessions()
@@ -252,13 +262,20 @@ class SessionStore:
             json.dump({k: vars(v) for k, v in self._sessions.items()}, f)
         os.replace(tmp, self._sessions_path())
 
+    def _entry_schema(self) -> str:
+        if self.embedding_provider is not None:
+            return ENTRY_SCHEMA + ", embedding array<float>"
+        return ENTRY_SCHEMA
+
     def entries(self, session_id: str | None = None) -> DataFrame:
         p = self._entries_path()
         recover_dir(p)
         if not os.path.exists(p):
-            df = self.spark.createDataFrame([], ENTRY_SCHEMA)
+            df = self.spark.createDataFrame([], self._entry_schema())
         else:
             df = self.spark.read.parquet(p)
+            if self.embedding_provider is not None and "embedding" not in df.columns:
+                df = df.withColumn("embedding", F.lit(None).cast("array<float>"))
         if session_id is not None:
             df = df.filter(F.col("session_id") == session_id)
         return df
@@ -314,7 +331,10 @@ class SessionStore:
                 )
 
         stored = self.entries(session_id)
-        accepted_rows = self._dedup_batch(batch, stored, sess, result)
+        if self.embedding_provider is not None:
+            accepted_rows = self._dedup_batch_cos(batch, stored, sess, result)
+        else:
+            accepted_rows = self._dedup_batch(batch, stored, sess, result)
 
         max_seq_row = stored.agg(F.max("seq").alias("m")).collect()[0]
         max_seq = int(max_seq_row["m"] or 0)
@@ -342,6 +362,16 @@ class SessionStore:
             sigs = with_signatures(new_df.select("id", "content"), "content",
                                    "id", self.cfg, parts=("shingles", "minhash"))
             new_df = new_df.join(sigs, "id", "left")
+            if self.embedding_provider is not None:
+                vecs = self.embedding_provider.embed_batch(
+                    [e["content"] for e in accepted_rows]
+                )
+                ids = [r[0] for r in new_rows]
+                emb_df = self.spark.createDataFrame(
+                    [(i, [float(x) for x in v]) for i, v in zip(ids, vecs)],
+                    "id string, embedding array<float>",
+                )
+                new_df = new_df.join(emb_df, "id", "left")
             all_entries = self.entries().unionByName(new_df)
         else:
             all_entries = self.entries()
@@ -369,8 +399,16 @@ class SessionStore:
                 promoted = True
 
         if c or e or new_rows or promoted:
+            if len(kept_pdf) and "embedding" in kept_pdf.columns:
+                # toPandas renders array<float> cells as ndarrays; feed
+                # plain lists back to createDataFrame
+                kept_pdf = kept_pdf.copy()
+                kept_pdf["embedding"] = [
+                    None if v is None else [float(x) for x in v]
+                    for v in kept_pdf["embedding"]
+                ]
             kept_df = self.spark.createDataFrame(kept_pdf, schema=this.schema) \
-                if len(kept_pdf) else self.spark.createDataFrame([], ENTRY_SCHEMA)
+                if len(kept_pdf) else self.spark.createDataFrame([], self._entry_schema())
             self._publish(others.unionByName(kept_df))
         sess.push_count = push_no
 
@@ -497,6 +535,48 @@ class SessionStore:
                 result.deduplicated += 1
                 continue
             accepted.append(e)
+        return accepted
+
+    def _dedup_batch_cos(self, batch: list[dict], stored: DataFrame,
+                         sess: SessionConfig, result: PushResult) -> list[dict]:
+        """Embedding-cosine variant of the push probe — the reference's
+        isDuplicate linear scan (sqlite.go:441-481) verbatim: entry i is
+        rejected iff cosine >= dedup_cosine vs a stored entry or an
+        earlier ACCEPTED entry of this batch. Sessions are bounded
+        (reference TODO <1K entries), so the stored vectors are pulled
+        with a loud guard and the probe is a numpy matmul."""
+        import numpy as np
+
+        if not batch:
+            return []
+        prov = self.embedding_provider
+        new_v = np.array(
+            [v for v in prov.embed_batch([e["content"] for e in batch])],
+            dtype=np.float64,
+        )
+        new_n = np.maximum(np.linalg.norm(new_v, axis=1, keepdims=True), 1e-12)
+        new_u = new_v / new_n
+        rows = guarded_collect(
+            stored.select("embedding").filter(F.col("embedding").isNotNull()),
+            int(self.cfg.extra.get("session_probe_max", 100_000)),
+            "session embedding dedup probe (stored vectors)",
+        )
+        thr = self.dedup_cosine
+        if rows:
+            sv = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+            sv = sv / np.maximum(np.linalg.norm(sv, axis=1, keepdims=True), 1e-12)
+            vs_stored = (new_u @ sv.T).max(axis=1) >= thr
+        else:
+            vs_stored = np.zeros(len(batch), dtype=bool)
+        intra = new_u @ new_u.T
+        accepted: list[dict] = []
+        accepted_idx: list[int] = []
+        for i, e in enumerate(batch):
+            if vs_stored[i] or any(intra[i, j] >= thr for j in accepted_idx):
+                result.deduplicated += 1
+                continue
+            accepted.append(e)
+            accepted_idx.append(i)
         return accepted
 
     def context(self, session_id: str, role: str | None = None,

@@ -1,0 +1,146 @@
+"""Embedding provider seam — registry/cache semantics mirror
+/root/reference/pkg/embedding (interface.go:33-116 cache contract,
+registry.go:40-111 factory resolution), plus the Spark column pass and
+the MemoryStore/SessionStore similarity-backend integration.
+"""
+
+import numpy as np
+import pytest
+
+from distill_spark.embedding import (
+    CachedProvider,
+    EmbeddingProvider,
+    HashProjectionProvider,
+    new_provider,
+    register_factory,
+    with_embeddings,
+)
+
+
+class CountingProvider(EmbeddingProvider):
+    def __init__(self, dim=8):
+        self._dim = dim
+        self.calls = 0
+        self.texts_embedded = 0
+
+    def embed_batch(self, texts):
+        self.calls += 1
+        self.texts_embedded += len(texts)
+        return [
+            np.full(self._dim, (len(t) % 7) + 1, dtype=np.float32) for t in texts
+        ]
+
+    def dimension(self):
+        return self._dim
+
+    def model_name(self):
+        return "counting"
+
+
+def test_hash_projection_deterministic_and_normalized():
+    p = HashProjectionProvider(dim=32, seed=7)
+    a1, a2 = p.embed("the quick brown fox"), p.embed("the quick brown fox")
+    assert np.array_equal(a1, a2) and len(a1) == 32
+    assert abs(np.linalg.norm(a1) - 1.0) < 1e-5
+    # shared tokens -> high cosine; disjoint -> low
+    b = p.embed("the quick brown fox runs")
+    c = p.embed("databases joins shuffles partitions")
+    assert float(a1 @ b) > 0.8 > abs(float(a1 @ c))
+
+
+def test_cached_provider_contract():
+    inner = CountingProvider()
+    c = CachedProvider(inner, max_size=2)
+    v1 = c.embed("aa")
+    v1b = c.embed("aa")
+    assert inner.calls == 1 and np.array_equal(v1, v1b)
+    v1b[0] = 99.0  # hits return copies (interface.go:55-59)
+    assert c.embed("aa")[0] != 99.0
+    # batch path embeds only the uncached tail (interface.go:77-116)
+    c.embed_batch(["aa", "bb", "cc"])
+    assert inner.texts_embedded == 3  # aa cached; bb, cc fresh
+    # cache capped at 2: "cc" was not inserted, re-embedding calls inner
+    assert c.cache_size() == 2
+    before = inner.texts_embedded
+    c.embed("cc")
+    assert inner.texts_embedded == before + 1
+
+
+def test_registry_resolution_and_cache_wrap():
+    p = new_provider({"type": "hash_projection", "dim": 16})
+    assert isinstance(p, CachedProvider)  # wrapped by default
+    assert p.dimension() == 16
+    raw = new_provider({"type": "hash_projection", "cache_size": -1})
+    assert isinstance(raw, HashProjectionProvider)  # <0 disables the wrap
+    with pytest.raises(ValueError):
+        new_provider({"type": "nope"})
+    with pytest.raises(ValueError):
+        new_provider({})
+    with pytest.raises(ImportError):
+        new_provider({"type": "openai"})  # network client: loud stub
+    # custom factories override built-ins (registry.go:48-52,64-66)
+    register_factory("openai", lambda cfg: CountingProvider())
+    assert isinstance(new_provider({"type": "openai", "cache_size": -1}),
+                      CountingProvider)
+    del_factory = __import__("distill_spark.embedding", fromlist=["_FACTORIES"])
+    del_factory._FACTORIES["openai"] = del_factory._network_stub("openai")
+
+
+def test_with_embeddings_column(spark):
+    df = spark.createDataFrame(
+        [("a", "alpha beta"), ("b", "gamma delta"), ("c", None)],
+        "id string, text string",
+    )
+    out = with_embeddings(df, HashProjectionProvider(dim=16), "text").collect()
+    got = {r["id"]: r["embedding"] for r in out}
+    assert len(got["a"]) == 16
+    assert got["a"] != got["b"]
+    # deterministic vs the driver-side provider
+    want = HashProjectionProvider(dim=16).embed("alpha beta")
+    assert np.allclose(got["a"], want, atol=1e-6)
+
+
+def test_memory_store_embedding_backend(spark, tmp_path):
+    from distill_spark.memory import MemoryStore
+
+    store = MemoryStore(
+        spark, str(tmp_path / "memb"), dup_jaccard=0.99, conflict_jaccard=0.98,
+        embedding_provider=HashProjectionProvider(dim=32),
+    )
+    store.store_batch(spark.createDataFrame(
+        [("m1", "the quick brown fox jumps over the lazy dog"),
+         ("m2", "completely unrelated words about joins and shuffles")],
+        "id string, text string",
+    ))
+    snap = {r["id"]: r for r in store.snapshot().collect()}
+    assert snap["m1"]["embedding"] is not None and len(snap["m1"]["embedding"]) == 32
+    got = store.recall("quick brown fox dog", k=2).collect()
+    assert got[0]["id"] == "m1"  # cosine backend ranks the related row first
+    assert got[0]["relevance"] > got[1]["relevance"]
+
+
+def test_session_store_embedding_dedup(spark, tmp_path):
+    from distill_spark.session_store import SessionStore
+
+    ss = SessionStore(
+        spark, str(tmp_path / "semb"),
+        embedding_provider=HashProjectionProvider(dim=32),
+        dedup_cosine=0.95,
+    )
+    sid = ss.create("s1", max_tokens=10_000)
+    r1 = ss.push(sid, [
+        {"content": "the quick brown fox jumps over the lazy dog"},
+        {"content": "the quick brown fox jumps over the lazy dog"},  # intra dup
+        {"content": "some completely different words about spark shuffles"},
+    ])
+    assert r1.accepted == 2 and r1.deduplicated == 1
+    # vs-stored dup on the second push
+    r2 = ss.push(sid, [
+        {"content": "the quick brown fox jumps over the lazy dog"},
+        {"content": "yet another novel sentence with fresh content"},
+    ])
+    assert r2.accepted == 1 and r2.deduplicated == 1
+    out, stats = ss.context(sid)
+    assert stats["total_entries"] == 3
+    rows = ss.entries(sid).collect()
+    assert all(r["embedding"] is not None for r in rows)

@@ -1,0 +1,139 @@
+"""Async job API lifecycle — mirrors the reference's batch processor
+test invariants (/root/reference/pkg/batch/batch_test.go:13-120):
+submit/get, results-only-when-completed, not-found, list filtering,
+queue-full rejection, TTL eviction, unique ids — plus the Spark-native
+extras: failed-job error capture, crash-restart requeue, threaded
+worker pool, per-stage progress.
+"""
+
+import time
+
+import pytest
+
+from distill_spark.jobs import (
+    JobProcessor, JobNotFound, ResultNotReady, QueueFull,
+    QUEUED, PROCESSING, COMPLETED, FAILED,
+)
+from distill_spark.operators.runner import PipelineOptions
+
+
+def _df(spark, rows=None):
+    rows = rows or [
+        ("a", "the quick brown fox jumps over the lazy dog by the river"),
+        ("b", "the quick brown fox jumps over the lazy dog by the river"),
+        ("c", "a completely different caption about databases and joins"),
+    ]
+    return spark.createDataFrame(rows, "image_id string, caption string")
+
+
+OPTS = PipelineOptions(compress_enabled=False, summarize_enabled=False)
+
+
+@pytest.fixture()
+def proc(spark, tmp_path):
+    p = JobProcessor(spark, str(tmp_path / "jobs"), result_ttl_sec=60)
+    yield p
+    p.stop()
+
+
+def test_submit_process_and_results(spark, proc):
+    job = proc.submit(_df(spark), OPTS)
+    assert job.id and job.status == QUEUED and job.n_input == 3
+    assert proc.process_next() == job.id
+    got = proc.get(job.id)
+    assert got.status == COMPLETED and got.progress == 1.0
+    out, stats = proc.results(job.id)
+    # dedup removed the exact-dup b -> 2 representative rows
+    assert out.count() == 2
+    srow = {r["stage"]: r for r in stats.collect()}
+    assert srow["dedup"]["enabled"] and srow["total"]["input_tokens"] > 0
+
+
+def test_results_not_completed(spark, proc):
+    job = proc.submit(_df(spark), OPTS)   # never processed
+    with pytest.raises(ResultNotReady):
+        proc.results(job.id)
+
+
+def test_get_not_found(proc):
+    with pytest.raises(JobNotFound):
+        proc.get("nonexistent")
+
+
+def test_list_filters_by_status(spark, proc):
+    j1 = proc.submit(_df(spark), OPTS)
+    j2 = proc.submit(_df(spark), OPTS)
+    assert {j.id for j in proc.list(QUEUED)} == {j1.id, j2.id}
+    proc.process_next()
+    assert len(proc.list(COMPLETED)) == 1
+    assert len(proc.list(QUEUED)) == 1
+    assert len(proc.list()) == 2
+
+
+def test_queue_full(spark, tmp_path):
+    p = JobProcessor(spark, str(tmp_path / "jq"), queue_size=1)
+    p.submit(_df(spark), OPTS)
+    with pytest.raises(QueueFull):
+        p.submit(_df(spark), OPTS)
+
+
+def test_failed_job_keeps_error(spark, proc):
+    bad = spark.createDataFrame([("a",)], "image_id string")  # no caption col
+    job_ok = proc.submit(_df(spark), OPTS)
+    # sabotage: point the stored input at a frame missing the text col
+    bad.write.mode("overwrite").parquet(
+        proc._job_dir(job_ok.id) + "/input"
+    )
+    proc.process_next()
+    got = proc.get(job_ok.id)
+    assert got.status == FAILED and got.error
+
+
+def test_ttl_eviction(spark, proc):
+    job = proc.submit(_df(spark), OPTS)
+    proc.process_next()
+    assert proc.evict() == []  # fresh result survives
+    gone = proc.evict(now=time.time() + 3600)
+    assert gone == [job.id]
+    with pytest.raises(JobNotFound):
+        proc.get(job.id)
+    import os
+    assert not os.path.exists(proc._job_dir(job.id))
+
+
+def test_restart_requeues_processing_and_keeps_completed(spark, tmp_path):
+    path = str(tmp_path / "jr")
+    p1 = JobProcessor(spark, path)
+    done = p1.submit(_df(spark), OPTS)
+    p1.process_next()
+    stuck = p1.submit(_df(spark), OPTS)
+    # simulate a crash mid-run: mark processing, "die" without finishing
+    with p1._lock:
+        p1._jobs[stuck.id].status = PROCESSING
+        p1._flush()
+
+    p2 = JobProcessor(spark, path)  # restart
+    assert p2.get(done.id).status == COMPLETED
+    assert p2.get(stuck.id).status == QUEUED  # requeued, not lost
+    assert p2.process_next() == stuck.id
+    assert p2.get(stuck.id).status == COMPLETED
+    out, _ = p2.results(stuck.id)
+    assert out.count() == 2
+
+
+def test_threaded_workers(spark, tmp_path):
+    p = JobProcessor(spark, str(tmp_path / "jw"))
+    ids = [p.submit(_df(spark), OPTS).id for _ in range(2)]
+    p.start_workers(2)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if all(p.get(i).status == COMPLETED for i in ids):
+            break
+        time.sleep(0.2)
+    p.stop()
+    assert all(p.get(i).status == COMPLETED for i in ids)
+
+
+def test_unique_ids(spark, proc):
+    ids = {proc.submit(_df(spark), OPTS).id for _ in range(5)}
+    assert len(ids) == 5

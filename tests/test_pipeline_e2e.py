@@ -100,3 +100,37 @@ def test_oracle_merges_planted_groups():
     for g in truth.dup_groups[:3]:
         roots = {assign[m] for m in g}
         assert len(roots) == 1
+
+
+def test_cc_reliable_checkpoint_flag(spark, tmp_path):
+    """cfg.cc_reliable_checkpoint switches the CC frontier from
+    localCheckpoint to reliable checkpoint(): same result, and the
+    checkpoint dir actually receives RDD checkpoint data."""
+    import os
+
+    from distill_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "a string, b string"
+    )
+    # no checkpoint dir anywhere -> loud failure (must run FIRST: setting
+    # the context checkpoint dir below is sticky for the session)
+    if spark.sparkContext.getCheckpointDir() is None:
+        with pytest.raises(ValueError):
+            connected_components(
+                edges, cfg=DedupConfig(cc_reliable_checkpoint=True)
+            )
+    base = {
+        r["image_id"]: r["component"]
+        for r in connected_components(edges, cfg=DedupConfig()).collect()
+    }
+
+    ckdir = str(tmp_path / "ck")
+    cfg = DedupConfig(cc_reliable_checkpoint=True, checkpoint_dir=ckdir)
+    rel = {
+        r["image_id"]: r["component"]
+        for r in connected_components(edges, cfg=cfg).collect()
+    }
+    assert rel == base == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    found = [f for _, _, fs in os.walk(ckdir) for f in fs]
+    assert found, "reliable checkpoint wrote nothing to checkpoint_dir"
