@@ -519,14 +519,21 @@ def q_image_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = images_from_documents(spark, sf_dir, with_payload=True)
 
     def brightness(batches):
+        from distill_spark.functions.multimodal import decode_pixels
+
         for pdf in batches:
+            # decode per fmt — the table mixes rgb8 and REAL png
+            # containers (round 3); the decoded pixels are the same
+            # closed-form LCG values either way, so the oracle holds
             vals = [
-                round(float(np.frombuffer(buf, dtype=np.uint8).mean()), 4)
-                for buf in pdf["bytes"]
+                round(float(decode_pixels(buf, w, h, fmt).mean()), 4)
+                for buf, w, h, fmt in zip(
+                    pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+                )
             ]
             yield pd.DataFrame({"image_id": pdf["image_id"], "brightness": vals})
 
-    return images.select("image_id", "bytes").mapInPandas(
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         brightness, schema="image_id string, brightness double"
     )
 

@@ -314,11 +314,23 @@ def images_from_documents(
         )
 
     def gen(batches):
+        from .functions.pngcodec import encode_png
+
         for pdf in batches:
-            blobs, hashes = [], []
+            blobs, fmts, hashes = [], [], []
             for did in pdf["doc_id"]:
                 px = lcg_pixels(int(did))
-                blobs.append(px.tobytes())
+                # every 4th row ships as a REAL compressed container
+                # (pure-python PNG) so the codec branch of the fidelity
+                # invariant is exercised end-to-end; decoded pixels are
+                # identical to rgb8, so the closed-form LCG oracles
+                # (brightness/contrast) hold for both formats
+                if int(did) % 4 == 3:
+                    blobs.append(encode_png(px))
+                    fmts.append("png")
+                else:
+                    blobs.append(px.tobytes())
+                    fmts.append("rgb8")
                 hashes.append(average_hash(px))
             yield pd.DataFrame(
                 {
@@ -326,7 +338,7 @@ def images_from_documents(
                     "bytes": blobs,
                     "w": 16,
                     "h": 16,
-                    "fmt": "rgb8",
+                    "fmt": fmts,
                     "caption": pdf["caption"],
                     "phash": pd.array(hashes, dtype="Int64"),
                 }

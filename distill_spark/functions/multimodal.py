@@ -7,13 +7,18 @@ formats + exact caption equality.
 
 fmt support:
   rgb8       raw interleaved RGB uint8 (w*h*3 bytes) — fully decoded
-             here with numpy, no codec needed (the synthetic payloads
-             use this).
-  png / jpg  STUB: the container has no image codecs (no PIL/cv2);
-             the Spark-side plumbing (schema, batch shape, UDF
-             signature) is real and tested, the codec call raises
-             NotImplementedError with a clear message. On a real
-             cluster, `pip install pillow` on executors and the
+             here with numpy, no codec needed.
+  png        decoded with PIL when installed, else with the in-repo
+             pure-python codec (functions/pngcodec.py: zlib + numpy,
+             8-bit RGB, all five scanline filters) — the synthetic
+             tables mix png rows in (datagen.images_from_documents)
+             so the compressed-container branch of the north rule's
+             fidelity invariant is actually exercised.
+  jpg        STUB: a baseline-JPEG entropy decoder is out of scope for
+             this sandbox (no PIL/cv2); the plumbing (schema, batch
+             shape, UDF signature) is real and tested, the codec call
+             raises NotImplementedError with a clear message. On a
+             real cluster, `pip install pillow` on executors and the
              try-import below picks it up.
 
 All decode paths run as Arrow-batched mapInPandas over (id, bytes, w,
@@ -44,7 +49,19 @@ def decode_pixels(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         if arr.size != w * h * 3:
             raise ValueError(f"rgb8 payload size {arr.size} != {w}x{h}x3")
         return arr.reshape(h, w, 3)
-    if fmt in ("png", "jpg", "jpeg"):
+    if fmt == "png":
+        if _HAS_PIL:  # pragma: no cover - pillow not in this image
+            import io
+
+            px = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        else:
+            from .pngcodec import decode_png
+
+            px = decode_png(data)
+        if px.shape != (h, w, 3):
+            raise ValueError(f"png decoded to {px.shape}, expected ({h}, {w}, 3)")
+        return px
+    if fmt in ("jpg", "jpeg"):
         if not _HAS_PIL:
             raise NotImplementedError(
                 f"decoding fmt={fmt!r} needs an image codec (pillow); "

@@ -1,0 +1,143 @@
+"""Minimal pure-python PNG codec (8-bit RGB) — zlib + numpy only.
+
+The sandbox has no PIL/cv2, but the north rule's per-row fidelity
+invariant (decoded-pixel allclose / PSNR) must be exercisable on a
+COMPRESSED container format, not just raw rgb8 — so the synthetic
+tables mix in real PNG payloads and this codec decodes them anywhere.
+It is not a general PNG library: exactly bit depth 8, color type 2
+(truecolor RGB), no interlace, no ancillary-chunk semantics — the
+subset the synthetic generator emits, strictly validated, with all
+five scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6)
+supported on decode so externally-produced baseline PNGs of the same
+shape decode too. On executors with pillow installed the decode path
+prefers PIL (multimodal.decode_pixels); results are identical.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 -> PNG bytes. filter_type applies the same RFC
+    2083 filter to every scanline (0 is the natural choice; 1-4 exist
+    so tests can exercise every decode branch)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_png expects (h, w, 3) uint8")
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    for y in range(h):
+        line = pixels[y].reshape(-1)
+        if filter_type == 0:
+            filt = line
+        elif filter_type == 1:  # Sub
+            left = np.concatenate([np.zeros(3, np.uint8), line[:-3]])
+            filt = (line.astype(np.int16) - left).astype(np.uint8)
+        elif filter_type == 2:  # Up
+            filt = (line.astype(np.int16) - prev).astype(np.uint8)
+        elif filter_type == 3:  # Average
+            left = np.concatenate([np.zeros(3, np.uint8), line[:-3]])
+            avg = (left.astype(np.int16) + prev.astype(np.int16)) // 2
+            filt = (line.astype(np.int16) - avg).astype(np.uint8)
+        elif filter_type == 4:  # Paeth
+            left = np.concatenate([np.zeros(3, np.uint8), line[:-3]])
+            ul = np.concatenate([np.zeros(3, np.uint8), prev[:-3]])
+            filt = (line.astype(np.int16)
+                    - _paeth(left.astype(np.int16), prev.astype(np.int16),
+                             ul.astype(np.int16))).astype(np.uint8)
+        else:
+            raise ValueError(f"filter_type {filter_type} not in 0..4")
+        raw.append(filter_type)
+        raw.extend(filt.tobytes())
+        prev = line
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8. Supports exactly the profile
+    documented in the module docstring; anything else raises."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            "unsupported PNG profile (need 8-bit truecolor RGB, "
+            f"no interlace); got depth={depth} color={color} "
+            f"interlace={interlace}"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        row = raw[y * (stride + 1):(y + 1) * (stride + 1)]
+        ftype, line = row[0], np.frombuffer(row[1:], dtype=np.uint8).astype(np.int16)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-dependent scan
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - 3] if x >= 3 else 0
+                up = prev[x]
+                ul = prev[x - 3] if x >= 3 else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, 3)

@@ -98,9 +98,60 @@ def test_decode_and_psnr_fidelity(spark):
 
 def test_decode_stub_for_codec_formats(spark):
     with pytest.raises(NotImplementedError):
+        decode_pixels(b"\xff\xd8\xff...", 4, 4, "jpg")
+    with pytest.raises(ValueError):  # corrupt png fails loudly, not silently
         decode_pixels(b"\x89PNG...", 4, 4, "png")
     rgb = np.zeros((4, 4, 3), dtype=np.uint8)
     assert psnr(rgb, rgb) == float("inf")
     noisy = rgb.copy()
     noisy[0, 0, 0] = 3
     assert psnr(rgb, noisy) > 40
+
+
+def test_png_codec_roundtrip_all_filters():
+    from distill_spark.functions.pngcodec import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    for ftype in range(5):  # None / Sub / Up / Average / Paeth
+        data = encode_png(px, filter_type=ftype)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        back = decode_png(data)
+        assert np.array_equal(back, px), f"filter {ftype} roundtrip"
+    # decode_pixels routes png through the codec and validates shape
+    assert np.array_equal(decode_pixels(encode_png(px), 7, 9, "png"), px)
+    with pytest.raises(ValueError):
+        decode_pixels(encode_png(px), 5, 5, "png")  # w/h mismatch
+
+
+def test_mixed_format_table_stats_and_psnr(spark, sf_dir):
+    """North-rule fidelity over a MIXED rgb8/png table: every 4th row
+    of the driver-derived images table is a real PNG container; stats
+    decode both formats to identical pixels, and an rgb8-vs-png pair of
+    the same content scores lossless PSNR."""
+    from distill_spark.datagen import images_from_documents, lcg_pixels
+    from distill_spark.functions.pngcodec import encode_png
+
+    images = images_from_documents(spark, sf_dir, with_payload=True)
+    fmts = {r["fmt"] for r in images.select("fmt").distinct().collect()}
+    assert fmts == {"rgb8", "png"}
+    stats = {r["image_id"]: r for r in with_image_stats(images.limit(40)).collect()}
+    assert all(r["brightness"] is not None for r in stats.values())
+    # a png row's stats equal the closed-form LCG pixels' stats
+    png_rows = [r for r in images.filter("fmt = 'png'").limit(3).collect()]
+    for row in png_rows:
+        did = int(row["image_id"][3:])
+        px = lcg_pixels(did)
+        assert abs(stats[row["image_id"]]["brightness"] - float(px.mean())) < 1e-3
+
+    pair_img = spark.createDataFrame(
+        [
+            ("p_rgb", lcg_pixels(7).tobytes(), 16, 16, "rgb8", "c"),
+            ("p_png", bytes(encode_png(lcg_pixels(7))), 16, 16, "png", "c"),
+        ],
+        "image_id string, bytes binary, w long, h long, fmt string, caption string",
+    )
+    res = pairwise_psnr(pair_img, spark.createDataFrame(
+        [("p_png", "p_rgb")], "a string, b string"
+    )).collect()
+    assert res[0]["psnr_db"] == 99.0  # lossless container: identical pixels
