@@ -6,8 +6,10 @@ entry(spark)   — flagship: the full near-dup detection + clustering
                  representatives) over an images table derived
                  deterministically from sf0.001 documents.parquet.
 queries()      — one entry per implemented operator (SURVEY.md §2).
-oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible query;
-                 pipeline/cluster queries are rows-only checked.
+oracle_sql()   — DuckDB-equivalent SQL for EVERY query (round 3: all 40
+                 value-checked; greedy/iterative operators get
+                 recursive-CTE replays or planted closed-form configs —
+                 see the per-query docstrings).
 
 Parity discipline: every query aliases computed columns identically in
 Spark and SQL, casts integer outputs to BIGINT, rounds floats, and
