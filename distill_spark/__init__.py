@@ -22,6 +22,16 @@ Layout:
                         sensitivity, hashing, vectors)
   checkpoint.py         stage ledger + parquet checkpoint store (Iceberg
                         writer gated behind import-try; jars not in image)
+  storeio.py            crash-safe atomic parquet-dir publish/append/
+                        partition-replace + guarded driver collects
+  memory.py             bucket-partitioned memory store (write-time dedup,
+                        recall, lifecycle) — partial-partition mutations
+  session_store.py      session store (push-dedup, budget escalation,
+                        cache boundary)
+  jobs.py               async batch-job API (submit/status/progress/
+                        results, TTL eviction, restart-safe ledger)
+  embedding.py          pluggable embedding providers (registry + cache +
+                        hash-projection default) + with_embeddings
   streaming/            foreachBatch-style incremental ingest
 """
 
