@@ -134,3 +134,33 @@ def test_cc_reliable_checkpoint_flag(spark, tmp_path):
     assert rel == base == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
     found = [f for _, _, fs in os.walk(ckdir) for f in fs]
     assert found, "reliable checkpoint wrote nothing to checkpoint_dir"
+
+
+def test_int_ids_output_identical_to_string_path(spark):
+    """cfg.int_ids=True (hash ids to int64 for every exchange) must
+    produce the SAME clusters as the string-id path: identical
+    assignments (components labeled by min ORIGINAL id) and identical
+    representatives. The raw edge SETS may differ by a few pairs —
+    bucket capping explores candidates in id order, and hash order
+    picks different (but exactly-verified, equally true) subsets with
+    the same transitive closure — so edges are checked for
+    component-consistency, not set equality."""
+    df, _ = generate_images(spark, n=400, seed=9)
+    a = dedupe(df, DedupConfig(int_ids=True))
+    b = dedupe(df, DedupConfig(int_ids=False))
+    try:
+        asg_a = {r["image_id"]: r["component"] for r in a.assignments.collect()}
+        asg_b = {r["image_id"]: r["component"] for r in b.assignments.collect()}
+        assert asg_a == asg_b
+        rep_a = sorted(r["image_id"] for r in a.representatives.collect())
+        rep_b = sorted(r["image_id"] for r in b.representatives.collect())
+        assert rep_a == rep_b
+        ed_a = [(r["a"], r["b"]) for r in a.edges.collect()]
+        assert ed_a, "int path must emit edges"
+        # every mapped-back edge connects two members of one component
+        # and is normalized a < b in ORIGINAL id order
+        for x, y in ed_a:
+            assert x < y and asg_a[x] == asg_a[y]
+    finally:
+        a.unpersist()
+        b.unpersist()

@@ -211,3 +211,25 @@ def test_run_decay_touches_only_changed_buckets(spark, store):
     before = _file_state(root)
     assert store.run_decay(now=now).count() == 0
     assert _file_state(root) == before
+
+
+def test_replace_partitions_crash_heal(spark, tmp_path):
+    """A crash between the two renames of a partition swap leaves the
+    bucket as a '._old-*' trash dir; the next recover_dir (called by
+    every reader/primitive) must restore it."""
+    import shutil
+
+    p = str(tmp_path / "rp")
+    df = spark.createDataFrame([(i, i % 4) for i in range(40)], "id long, bucket int")
+    storeio.publish_dir(df, p, partition_by="bucket")
+    # simulate: live bucket moved to trash, replacement never landed
+    os.rename(os.path.join(p, "bucket=2"), os.path.join(p, "._old-bucket=2-dead01"))
+    assert not os.path.exists(os.path.join(p, "bucket=2"))
+    storeio.recover_dir(p)
+    assert os.path.exists(os.path.join(p, "bucket=2"))
+    assert spark.read.parquet(p).count() == 40
+    # stale trash WITH a live partner is cleared, live wins
+    shutil.copytree(os.path.join(p, "bucket=1"), os.path.join(p, "._old-bucket=1-dead02"))
+    storeio.recover_dir(p)
+    assert not os.path.exists(os.path.join(p, "._old-bucket=1-dead02"))
+    assert spark.read.parquet(p).count() == 40
