@@ -111,7 +111,12 @@ def _refined_value_pairs(
     nb = k + 1
     pend = vals.select(
         "val",
-        F.lit("").alias("key"),
+        # bucket key: a FOLDED 8-byte hash of the (level, block, bits)
+        # path instead of a growing ':'-joined string — a hash collision
+        # merely MERGES two buckets, which only ADDS candidate pairs
+        # (removed by the in-task exact Hamming verify), so recall is
+        # unaffected while every refinement exchange ships longs
+        F.lit(0).cast("long").alias("key"),
         bit_scatter(F.col("val")).alias("rv"),
         F.lit(64).cast("int").alias("nbits"),
     )
@@ -129,13 +134,12 @@ def _refined_value_pairs(
         ex = pend.select("val", "key", "rv", "nbits", F.explode(blocks).alias("s"))
         ex = ex.select(
             "val",
-            F.concat_ws(
-                ":",
+            F.xxhash64(
                 F.col("key"),
-                F.col("s.blk").cast("string"),
+                F.col("s.blk"),
                 F.expr(
                     "shiftrightunsigned(rv, s.off) & (shiftleft(1L, s.w) - 1)"
-                ).cast("string"),
+                ),
             ).alias("key"),
             F.expr(
                 """
