@@ -899,6 +899,39 @@ def q_kmeans_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("vec_id")
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (coarse k-means lists +
+    n_probe-restricted search, the ANN scale path beside the banded
+    hyperplane LSH) — value-checked via a planted closed-form config:
+    8 orthogonal unit-axis clusters (vector = e_{vec_id % 8}, members
+    bit-identical within a cluster), init centroids pinned to vec_ids
+    0..7, one probe per query. Each query's probed list is exactly its
+    own cluster, every member scores cosine 1.0 (all inputs are exact
+    powers of two, so both engines compute exactly 1.0), and the rank
+    order is the cid tie-break — pure SQL. The general path (jittered
+    clusters, partial probing vs exact brute force) is pinned by
+    pytest in tests/test_vectors_select.py."""
+    from distill_spark.functions.vectors import ivf_topk
+
+    em = _t(spark, sf_dir, "embeddings").select("vec_id")
+    planted = em.select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(0, 63), i -> CAST("
+            "CASE WHEN i = vec_id % 8 THEN 1.0 ELSE 0.0 END AS FLOAT))"
+        ).alias("embedding"),
+    )
+    queries = planted.filter(F.col("vec_id") < 8)
+    out = ivf_topk(queries, planted, k=5, n_probe=1, n_lists=8,
+                   init_ids=[0, 1, 2, 3, 4, 5, 6, 7])
+    return out.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("cid").cast("long").alias("cid"),
+        F.round("sim", 6).alias("sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_cache_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cache pattern classifier + cache_control annotation policy
     (reference pkg/cache/patterns.go:96-290): pattern types planted by
@@ -967,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_budget": q_session_budget,
         "cache_annotations": q_cache_annotations,
         "kmeans_unique": q_kmeans_unique,
+        "ivf_topk": q_ivf_topk,
         "graph_degrees": q_graph_degrees,
         "graph_blast_radius": q_graph_blast_radius,
         "commit_patterns": q_commit_patterns,
@@ -1366,6 +1400,19 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_unique": """
             SELECT vec_id FROM embeddings
             WHERE vec_id < 8 OR (vec_id % 25 = 3 AND vec_id >= 10)
+        """,
+        # planted unit-axis clusters + 1-probe IVF (see q_ivf_topk):
+        # probed list == own cluster, sim exactly 1.0, rank = cid order
+        "ivf_topk": """
+            WITH q AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 8),
+            j AS (
+              SELECT q.qid, m.vec_id AS cid, 1.0 AS sim,
+                     row_number() OVER (PARTITION BY q.qid
+                                        ORDER BY m.vec_id ASC) AS rank
+              FROM q JOIN embeddings m
+                ON m.vec_id % 8 = q.qid % 8 AND m.vec_id <> q.qid
+            )
+            SELECT qid, cid, sim, rank FROM j WHERE rank <= 5
         """,
         # planted one-shape-per-branch inputs (see q_structured_compress
         # docstring): the compact output is closed-form per branch

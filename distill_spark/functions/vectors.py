@@ -96,6 +96,76 @@ def topk_neighbors(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_probe: int = 4,
+    n_lists: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    init_ids: list | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
+    with k-means (operators.kmeans — one Arrow BLAS assignment pass, one
+    shuffle per iteration), then search each query against ONLY its
+    n_probe nearest centroid lists instead of the whole corpus. The
+    scale path for ANN alongside the banded hyperplane LSH
+    (embedding_dup_pairs_lsh); topk_neighbors is the exact baseline.
+
+    n_probe == n_lists degenerates to exact brute force (tested). The
+    probe decision is a driver-side numpy scan of the (tiny) centroid
+    matrix per query — queries are a broadcast-sized set by contract,
+    like the reference's single query vector (commits.go:216-250)."""
+    import numpy as np
+
+    from pyspark.sql import Window
+    from ..operators.kmeans import kmeans_partition
+
+    assigned, centroids = kmeans_partition(
+        corpus, k=n_lists, id_col=id_col, vec_col=vec_col, seed=seed,
+        init_ids=init_ids,
+    )
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    n_probe = min(n_probe, len(centroids))
+
+    qrows = queries.select(id_col, vec_col).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        sims = cn @ qn
+        # deterministic probe order: sim desc, cluster index asc
+        order = sorted(range(len(sims)), key=lambda i: (-sims[i], i))[:n_probe]
+        for c in order:
+            probe_rows.append((r[id_col], int(c)))
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, f"qid {queries.schema[id_col].dataType.simpleString()}, cluster int"
+    )
+
+    member_vecs = assigned.join(corpus.select(id_col, vec_col), id_col).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"), "cluster"
+    )
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    scored = (
+        F.broadcast(probes)
+        .join(member_vecs, "cluster")
+        .join(F.broadcast(q), "qid")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("sim", cosine_similarity(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "sim", "rank")
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()

@@ -146,3 +146,43 @@ def test_streaming_intra_batch_dedup_and_atomic_replay(spark, tmp_path):
     assert state.assignments().filter(F.col("image_id") == "j1").count() == 1
     # exactly one j1 row: the partial publish was rolled back, not doubled
     assert state.assignments().count() == 4
+
+
+def test_ivf_topk_exact_when_probing_all_and_high_recall_partial(spark):
+    """IVF ANN: with n_probe == n_lists it must equal the exact
+    brute-force top-k; with partial probing on well-separated planted
+    clusters the true neighbors live in the probed list, so results
+    still match exactly."""
+    import random
+
+    from distill_spark.functions.vectors import ivf_topk, topk_neighbors
+
+    rng = random.Random(3)
+    rows = []
+    # 4 well-separated clusters in 16-dim: axis c with +-0.05 jitter
+    for i in range(200):
+        c = i % 4
+        vec = [0.0] * 16
+        vec[c * 4] = 1.0
+        vec[c * 4 + 1] = rng.uniform(-0.05, 0.05)
+        rows.append((i, [float(x) for x in vec]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") < 4)
+
+    exact = {
+        (r["qid"], r["rank"]): r["cid"]
+        for r in topk_neighbors(queries, corpus, k=5).collect()
+    }
+    full = {
+        (r["qid"], r["rank"]): r["cid"]
+        for r in ivf_topk(queries, corpus, k=5, n_probe=4, n_lists=4,
+                          init_ids=[0, 1, 2, 3]).collect()
+    }
+    assert full == exact
+
+    partial = {
+        (r["qid"], r["rank"]): r["cid"]
+        for r in ivf_topk(queries, corpus, k=5, n_probe=1, n_lists=4,
+                          init_ids=[0, 1, 2, 3]).collect()
+    }
+    assert partial == exact  # separated clusters: 1 probe finds them all
