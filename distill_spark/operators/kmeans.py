@@ -94,9 +94,12 @@ def kmeans_partition(
         if k is None:
             k = max(int(math.sqrt(n / 2)), 1)
         k = min(k, n)
-        # seeded init: first k rows in xxhash64(id, seed) order
+        # seeded init: k rows with the smallest xxhash64(id, seed)
         # (deterministic "random selection" without a driver-side RNG
-        # over the full data)
+        # over the full data). orderBy().limit(k) compiles to
+        # TakeOrderedAndProject — per-partition size-k heaps + a k-row
+        # driver merge, NOT a global sort — so this stays O(n) work /
+        # O(k) exchange at 10^12 rows (round-2 review item)
         init = (
             df.select(id_col, vec_col)
             .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
