@@ -1,0 +1,427 @@
+"""Minimal pure-python baseline JPEG codec (numpy DCT + bit-level
+Huffman) — no PIL/cv2 needed.
+
+Purpose: the north rule's per-row fidelity invariant is "decoded-pixel
+allclose, PSNR >= 40 dB for LOSSY formats". PNG (pngcodec.py) covers
+the compressed-container branch but is lossless; this codec makes the
+lossy branch real: the synthetic tables can ship actual JFIF baseline
+payloads, and pairwise_psnr measures genuine quantization loss.
+
+Profile (strictly validated, like pngcodec):
+  encode  SOF0 baseline sequential, 8-bit, 3 components YCbCr 4:4:4
+          (no chroma subsampling), standard Annex-K quantization
+          tables scaled by `quality`, standard Annex-K Huffman tables,
+          no restart markers.
+  decode  any baseline stream within that profile — tables are READ
+          from the stream's DQT/DHT segments (not assumed), so
+          externally-produced baseline 4:4:4 JPEGs decode too.
+
+Everything heavy is numpy (blocked 2D DCT/IDCT as two matrix
+multiplies); the entropy coder is per-symbol python, fine for the
+synthetic thumbnails and executor-side Arrow batches at test scale —
+production executors install pillow and multimodal.decode_pixels
+prefers it automatically.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+# ITU-T T.81 Annex K.1 — standard luminance/chrominance quant tables
+QY = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int32)
+QC = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int32)
+
+# Annex K.3 — standard Huffman table specs: (bits[1..16], huffval)
+_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+           list(range(12)))
+_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+           list(range(12)))
+_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+_C = np.cos(np.pi * np.outer(np.arange(8), (2 * np.arange(8) + 1)) / 16)
+_DCT_M = _C * np.sqrt(2 / 8)
+_DCT_M[0] *= np.sqrt(0.5)  # orthonormal DCT-II matrix (8x8)
+
+
+def _scale_qtable(q: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(quality, 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    t = (q * s + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int32)
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length), canonical order."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc, self.n = 0, 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write(0x7F, 8 - self.n)  # pad with 1s
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """-> (size, amplitude bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    size = int(v if v > 0 else -v).bit_length()
+    if v < 0:
+        v = v + (1 << size) - 1
+    return size, v
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = px[..., 0].astype(np.float64), px[..., 1].astype(np.float64), px[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _blocks(chan: np.ndarray, h: int, w: int) -> np.ndarray:
+    """pad to multiples of 8 (edge replicate) -> (nb, 8, 8)."""
+    ph, pw = -h % 8, -w % 8
+    p = np.pad(chan, ((0, ph), (0, pw)), mode="edge")
+    H, W = p.shape
+    return (
+        p.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8),
+        H // 8, W // 8,
+    )
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (4:4:4)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects (h, w, 3) uint8")
+    h, w, _ = pixels.shape
+    qy, qc = _scale_qtable(QY, quality), _scale_qtable(QC, quality)
+    ycc = _rgb_to_ycbcr(pixels)
+
+    dc_lum = _huff_encode_table(*_DC_LUM)
+    ac_lum = _huff_encode_table(*_AC_LUM)
+    dc_chr = _huff_encode_table(*_DC_CHR)
+    ac_chr = _huff_encode_table(*_AC_CHR)
+
+    # per-channel quantized zigzag coefficients
+    comps = []
+    for ci in range(3):
+        blk, bh, bw = _blocks(ycc[..., ci], h, w)
+        coef = _DCT_M @ (blk - 128.0) @ _DCT_M.T
+        q = qy if ci == 0 else qc
+        qz = np.round(coef / q).astype(np.int32)
+        comps.append(qz.reshape(-1, 64)[:, _ZIGZAG])
+
+    bw_ = _BitWriter()
+    pred = [0, 0, 0]
+    n_blocks = comps[0].shape[0]
+    for b in range(n_blocks):  # interleaved MCU = one block per comp (4:4:4)
+        for ci in range(3):
+            dct_t = dc_lum if ci == 0 else dc_chr
+            act_t = ac_lum if ci == 0 else ac_chr
+            z = comps[ci][b]
+            diff = int(z[0]) - pred[ci]
+            pred[ci] = int(z[0])
+            size, amp = _magnitude(diff)
+            code, ln = dct_t[size]
+            bw_.write(code, ln)
+            if size:
+                bw_.write(amp, size)
+            run = 0
+            last_nz = int(np.max(np.nonzero(z)[0])) if np.any(z[1:]) else 0
+            for i in range(1, 64):
+                v = int(z[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = act_t[0xF0]  # ZRL
+                    bw_.write(code, ln)
+                    run -= 16
+                size, amp = _magnitude(v)
+                code, ln = act_t[(run << 4) | size]
+                bw_.write(code, ln)
+                bw_.write(amp, size)
+                run = 0
+            if last_nz < 63:
+                code, ln = act_t[0x00]  # EOB
+                bw_.write(code, ln)
+    scan = bw_.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        return seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in q.reshape(-1)[_ZIGZAG]))
+
+    def dht(cls: int, tid: int, spec: tuple) -> bytes:
+        bits, vals = spec
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
+              + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt(0, qy) + dqt(1, qc)
+        + dht(0, 0, _DC_LUM) + dht(1, 0, _AC_LUM)
+        + dht(0, 1, _DC_CHR) + dht(1, 1, _AC_CHR)
+        + sof + sos + scan + b"\xff\xd9"
+    )
+
+
+# ---------------------------------------------------------------- decode
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data, self.pos = data, 0
+        self.acc, self.n = 0, 0
+
+    def _byte(self) -> int:
+        while True:
+            if self.pos >= len(self.data):
+                raise ValueError("jpeg scan truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1
+                    return 0xFF
+                raise ValueError("unexpected marker in scan")
+            return b
+
+    def bits(self, n: int) -> int:
+        while self.n < n:
+            self.acc = (self.acc << 8) | self._byte()
+            self.n += 8
+        out = (self.acc >> (self.n - n)) & ((1 << n) - 1)
+        self.n -= n
+        self.acc &= (1 << self.n) - 1
+        return out
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> value."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bits(1)
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid huffman code in jpeg scan")
+
+
+def _extend(amp: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if amp < (1 << (size - 1)):
+        return amp - (1 << size) + 1
+    return amp
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """baseline JFIF bytes -> (h, w, 3) uint8 RGB. Profile: SOF0, 8-bit,
+    3 components, 4:4:4, no restart markers."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comp_q: list[int] = []
+    scan_tables: list[tuple[int, int]] = []
+    scan_start = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = struct.unpack(">H", data[pos:pos + 2])[0]
+        pos += 2
+        if marker == 0xFFD9:
+            break
+        (ln,) = struct.unpack(">H", data[pos:pos + 2])
+        payload = data[pos + 2:pos + ln]
+        if marker == 0xFFDB:
+            i = 0
+            while i < len(payload):
+                pq, tid = payload[i] >> 4, payload[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tz = np.frombuffer(payload[i + 1:i + 65], dtype=np.uint8).astype(np.int32)
+                t = np.zeros(64, dtype=np.int32)
+                t[_ZIGZAG] = tz
+                qt[tid] = t.reshape(8, 8)
+                i += 65
+        elif marker == 0xFFC4:
+            i = 0
+            while i < len(payload):
+                cls, tid = payload[i] >> 4, payload[i] & 0xF
+                bits = list(payload[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(payload[i + 17:i + 17 + nv])
+                huff[(cls, tid)] = _huff_decode_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xFFC0:
+            prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8 or nc != 3:
+                raise ValueError("unsupported SOF0 profile (need 8-bit, 3 comps)")
+            for c in range(3):
+                cid, samp, tq = payload[6 + c * 3:9 + c * 3]
+                if samp != 0x11:
+                    raise ValueError("chroma subsampling unsupported (need 4:4:4)")
+                comp_q.append(tq)
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+            raise ValueError("only baseline SOF0 is supported")
+        elif marker == 0xFFDD:
+            raise ValueError("restart markers unsupported")
+        elif marker == 0xFFDA:
+            ns = payload[0]
+            for c in range(ns):
+                scan_tables.append((payload[2 + c * 2] >> 4, payload[2 + c * 2] & 0xF))
+            scan_start = pos + ln
+            break
+        pos += ln
+    if h is None or scan_start is None:
+        raise ValueError("jpeg missing SOF0/SOS")
+
+    br = _BitReader(data[scan_start:])
+    bh, bw_n = (h + 7) // 8, (w + 7) // 8
+    out = np.zeros((3, bh * 8, bw_n * 8), dtype=np.float64)
+    pred = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw_n):
+            for ci in range(3):
+                dct_t = huff[(0, scan_tables[ci][0])]
+                act_t = huff[(1, scan_tables[ci][1])]
+                z = np.zeros(64, dtype=np.int32)
+                size = _read_symbol(br, dct_t)
+                diff = _extend(br.bits(size), size) if size else 0
+                pred[ci] += diff
+                z[0] = pred[ci]
+                i = 1
+                while i < 64:
+                    rs = _read_symbol(br, act_t)
+                    run, size = rs >> 4, rs & 0xF
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    i += run
+                    if i > 63:
+                        raise ValueError("AC run overflows block")
+                    z[i] = _extend(br.bits(size), size)
+                    i += 1
+                coef = np.zeros(64, dtype=np.float64)
+                coef[_ZIGZAG] = z
+                q = qt[comp_q[ci]]
+                blk = _DCT_M.T @ (coef.reshape(8, 8) * q) @ _DCT_M + 128.0
+                out[ci, by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = blk
+    ycc = np.stack([out[0][:h, :w], out[1][:h, :w], out[2][:h, :w]], axis=-1)
+    return _ycbcr_to_rgb(ycc)

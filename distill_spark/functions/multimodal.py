@@ -14,12 +14,11 @@ fmt support:
              tables mix png rows in (datagen.images_from_documents)
              so the compressed-container branch of the north rule's
              fidelity invariant is actually exercised.
-  jpg        STUB: a baseline-JPEG entropy decoder is out of scope for
-             this sandbox (no PIL/cv2); the plumbing (schema, batch
-             shape, UDF signature) is real and tested, the codec call
-             raises NotImplementedError with a clear message. On a
-             real cluster, `pip install pillow` on executors and the
-             try-import below picks it up.
+  jpg        decoded with PIL when installed, else with the in-repo
+             pure-python baseline codec (functions/jpegcodec.py:
+             numpy DCT + Huffman, SOF0 4:4:4 profile) — the LOSSY
+             branch of the north rule's PSNR >= 40 dB invariant runs
+             on real quantization loss, not a stub.
 
 All decode paths run as Arrow-batched mapInPandas over (id, bytes, w,
 h, fmt) — `bytes` stays in the scan projection and is NEVER shuffled
@@ -62,14 +61,17 @@ def decode_pixels(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
             raise ValueError(f"png decoded to {px.shape}, expected ({h}, {w}, 3)")
         return px
     if fmt in ("jpg", "jpeg"):
-        if not _HAS_PIL:
-            raise NotImplementedError(
-                f"decoding fmt={fmt!r} needs an image codec (pillow); "
-                "not available in this environment — install on executors"
-            )
-        import io  # pragma: no cover
+        if _HAS_PIL:  # pragma: no cover - pillow not in this image
+            import io
 
-        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+            px = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        else:
+            from .jpegcodec import decode_jpeg
+
+            px = decode_jpeg(data)
+        if px.shape != (h, w, 3):
+            raise ValueError(f"jpeg decoded to {px.shape}, expected ({h}, {w}, 3)")
+        return px
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

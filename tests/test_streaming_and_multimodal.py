@@ -97,9 +97,9 @@ def test_decode_and_psnr_fidelity(spark):
 
 
 def test_decode_stub_for_codec_formats(spark):
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):  # corrupt payloads fail loudly
         decode_pixels(b"\xff\xd8\xff...", 4, 4, "jpg")
-    with pytest.raises(ValueError):  # corrupt png fails loudly, not silently
+    with pytest.raises(ValueError):
         decode_pixels(b"\x89PNG...", 4, 4, "png")
     rgb = np.zeros((4, 4, 3), dtype=np.uint8)
     assert psnr(rgb, rgb) == float("inf")
@@ -155,3 +155,45 @@ def test_mixed_format_table_stats_and_psnr(spark, sf_dir):
         [("p_png", "p_rgb")], "a string, b string"
     )).collect()
     assert res[0]["psnr_db"] == 99.0  # lossless container: identical pixels
+
+
+def test_jpeg_codec_roundtrip_and_profile_guards():
+    import numpy as np
+
+    from distill_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    # smooth content: high fidelity at moderate quality
+    xx, yy = np.meshgrid(np.arange(16), np.arange(16))
+    smooth = np.stack([xx * 8 % 256, yy * 8 % 256, (xx + yy) * 4 % 256],
+                      axis=-1).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg(smooth, quality=90))
+    assert back.shape == smooth.shape and psnr(smooth, back) >= 45
+    # odd (non-multiple-of-8) sizes go through the padding path
+    odd = rng.integers(0, 256, size=(13, 11, 3), dtype=np.uint8)
+    back = decode_jpeg(encode_jpeg(odd, quality=100))
+    assert back.shape == odd.shape and psnr(odd, back) >= 45
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+
+
+def test_lossy_fidelity_invariant_on_real_jpeg(spark):
+    """The north rule's lossy branch with REAL quantization loss: a
+    jpg(q=98) payload of the same pixels as an rgb8 payload must be
+    measurably lossy (psnr < 99-lossless sentinel) yet >= 40 dB."""
+    from distill_spark.datagen import lcg_pixels
+    from distill_spark.functions.jpegcodec import encode_jpeg
+
+    px = lcg_pixels(7)
+    imgs = spark.createDataFrame(
+        [
+            ("j_raw", px.tobytes(), 16, 16, "rgb8", "c"),
+            ("j_jpg", bytes(encode_jpeg(px, quality=98)), 16, 16, "jpg", "c"),
+        ],
+        "image_id string, bytes binary, w long, h long, fmt string, caption string",
+    )
+    res = pairwise_psnr(imgs, spark.createDataFrame(
+        [("j_jpg", "j_raw")], "a string, b string"
+    )).collect()
+    val = res[0]["psnr_db"]
+    assert 40.0 <= val < 99.0, f"lossy psnr {val}"
