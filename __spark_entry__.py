@@ -932,6 +932,38 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's LOSSY fidelity branch in the driver gate: every
+    8th doc's closed-form LCG pixels are encoded as a real baseline
+    JPEG (q=98, pure-python codec), decoded back, and scored with PSNR
+    against the exact pixels. The decoded values are NOT
+    SQL-recomputable (DCT quantization), but the INVARIANT is: every
+    pair must be genuinely lossy (psnr < 99, the lossless sentinel)
+    yet >= 40 dB — so the oracle pins the per-row booleans, and any
+    codec regression flips them. Exact PSNR values are additionally
+    bounded in pytest (tests/test_streaming_and_multimodal.py)."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 8 == 1
+    )
+
+    def batch(batches):
+        from distill_spark.datagen import lcg_pixels
+        from distill_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+        from distill_spark.functions.multimodal import psnr
+
+        for pdf in batches:
+            oks = []
+            for did in pdf["doc_id"]:
+                px = lcg_pixels(int(did))
+                val = psnr(px, decode_jpeg(encode_jpeg(px, quality=98)))
+                oks.append(bool(40.0 <= val < 99.0))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "lossy_psnr_ok": oks})
+
+    return d.mapInPandas(batch, schema="doc_id long, lossy_psnr_ok boolean")
+
+
 def q_cache_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cache pattern classifier + cache_control annotation policy
     (reference pkg/cache/patterns.go:96-290): pattern types planted by
@@ -1001,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cache_annotations": q_cache_annotations,
         "kmeans_unique": q_kmeans_unique,
         "ivf_topk": q_ivf_topk,
+        "jpeg_fidelity": q_jpeg_fidelity,
         "graph_degrees": q_graph_degrees,
         "graph_blast_radius": q_graph_blast_radius,
         "commit_patterns": q_commit_patterns,
@@ -1400,6 +1433,12 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_unique": """
             SELECT vec_id FROM embeddings
             WHERE vec_id < 8 OR (vec_id % 25 = 3 AND vec_id >= 10)
+        """,
+        # lossy-branch invariant booleans (see q_jpeg_fidelity): true
+        # for every sampled row unless the jpeg codec regresses
+        "jpeg_fidelity": """
+            SELECT doc_id, TRUE AS lossy_psnr_ok
+            FROM documents WHERE doc_id % 8 = 1
         """,
         # planted unit-axis clusters + 1-probe IVF (see q_ivf_topk):
         # probed list == own cluster, sim exactly 1.0, rank = cid order
