@@ -18,6 +18,72 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+_P64_1 = 0x9E3779B185EBCA87
+_P64_2 = 0xC2B2AE3D27D4EB4F
+_P64_3 = 0x165667B19E3779F9
+_P64_4 = 0x85EBCA77C2B2AE63
+_P64_5 = 0x27D4EB2F165667C5
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxhash64_py(data: bytes | str, seed: int = 42) -> int:
+    """Pure-python XXH64 over bytes, signed-int64 result — bit-identical
+    to Spark's `F.xxhash64(string_col)` (JVM XXH64, default seed 42;
+    equality pinned in tests against the JVM). Lets store mutations map
+    a handful of ids to bucket partitions WITHOUT launching a Spark job
+    per expire/supersede call."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P64_1 + _P64_2) & _M64
+        v2 = (seed + _P64_2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P64_1) & _M64
+        while i + 32 <= n:
+            k = int.from_bytes(data[i:i + 8], "little")
+            v1 = (_rotl((v1 + k * _P64_2) & _M64, 31) * _P64_1) & _M64
+            k = int.from_bytes(data[i + 8:i + 16], "little")
+            v2 = (_rotl((v2 + k * _P64_2) & _M64, 31) * _P64_1) & _M64
+            k = int.from_bytes(data[i + 16:i + 24], "little")
+            v3 = (_rotl((v3 + k * _P64_2) & _M64, 31) * _P64_1) & _M64
+            k = int.from_bytes(data[i + 24:i + 32], "little")
+            v4 = (_rotl((v4 + k * _P64_2) & _M64, 31) * _P64_1) & _M64
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _P64_2) & _M64, 31) * _P64_1) & _M64
+            h = (h * _P64_1 + _P64_4) & _M64
+    else:
+        h = (seed + _P64_5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = int.from_bytes(data[i:i + 8], "little")
+        h ^= (_rotl((k * _P64_2) & _M64, 31) * _P64_1) & _M64
+        h = (_rotl(h, 27) * _P64_1 + _P64_4) & _M64
+        i += 8
+    if i + 4 <= n:
+        k = int.from_bytes(data[i:i + 4], "little")
+        h ^= (k * _P64_1) & _M64
+        h = (_rotl(h, 23) * _P64_2 + _P64_3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P64_5) & _M64
+        h = (_rotl(h, 11) * _P64_1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P64_2) & _M64
+    h ^= h >> 29
+    h = (h * _P64_3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 def content_hash(*cols: str | Column) -> Column:
     """sha2-256 of null-separated concatenation (hex, lowercase)."""
     cs = [F.coalesce(F.col(c) if isinstance(c, str) else c, F.lit("")) for c in cols]

@@ -84,6 +84,9 @@ class JobProcessor:
         # THIS process; restarted jobs rebuild from the persisted scalar
         # options in the ledger
         self._opts_store: dict[str, PipelineOptions] = {}
+        # jobs whose queue slot is reserved but whose input snapshot is
+        # still being written — workers must not pick these up yet
+        self._pending_input: set[str] = set()
         self._threads: list[threading.Thread] = []
         self._stop = threading.Event()
         self._load()
@@ -108,6 +111,13 @@ class JobProcessor:
         for j in self._jobs.values():
             if j.status == PROCESSING:
                 j.status, j.progress, j.stage = QUEUED, 0.0, ""
+            # a crash mid-submit leaves a ledgered job with no input
+            # snapshot: fail it loudly instead of letting a worker crash
+            if j.status == QUEUED and not os.path.isdir(
+                os.path.join(self._job_dir(j.id), "input")
+            ):
+                j.status = FAILED
+                j.error = "submit did not complete (input snapshot missing)"
         self._flush()
 
     def _flush(self) -> None:
@@ -119,27 +129,52 @@ class JobProcessor:
 
     # ---------------------------------------------------------------- API
     def submit(self, df: DataFrame, opts: PipelineOptions | None = None) -> Job:
-        """Snapshot the input, enqueue, return the queued Job."""
-        with self._lock:
-            n_queued = sum(1 for j in self._jobs.values() if j.status == QUEUED)
-            if n_queued >= self.queue_size:
-                raise QueueFull(f"job queue is full ({self.queue_size} queued)")
-        job_id = f"batch_{int(time.time() * 1e6)}_{uuid.uuid4().hex[:6]}"
-        jd = self._job_dir(job_id)
-        df.select(self.id_col, self.text_col).write.mode("overwrite").parquet(
-            os.path.join(jd, "input")
-        )
-        n = self.spark.read.parquet(os.path.join(jd, "input")).count()
+        """Snapshot the input, enqueue, return the queued Job.
+
+        The queue slot is RESERVED (placeholder job inserted) inside the
+        same critical section as the fullness check — concurrent
+        submitters cannot all pass the check and exceed queue_size while
+        one of them is off writing its input snapshot."""
         opts = opts or PipelineOptions()
+        job_id = f"batch_{int(time.time() * 1e6)}_{uuid.uuid4().hex[:6]}"
         job = Job(
-            id=job_id, status=QUEUED, created_at=time.time(), n_input=n,
+            id=job_id, status=QUEUED, created_at=time.time(),
             options={
                 k: v for k, v in vars(opts).items() if k != "dedup_cfg"
             },
         )
+        # dedup_cfg scalars ride the ledger too: a job re-queued after a
+        # driver restart must rerun with the SUBMITTED config, not the
+        # default (the `extra` dict is dropped — scalars only)
+        job.options["dedup_cfg"] = {
+            k: v for k, v in vars(opts.dedup_cfg).items()
+            if isinstance(v, (bool, int, float, str)) or v is None
+        }
         with self._lock:
+            n_queued = sum(1 for j in self._jobs.values() if j.status == QUEUED)
+            if n_queued >= self.queue_size:
+                raise QueueFull(f"job queue is full ({self.queue_size} queued)")
             self._jobs[job_id] = job
             self._opts_store[job_id] = opts
+            self._pending_input.add(job_id)
+            self._flush()
+        jd = self._job_dir(job_id)
+        try:
+            df.select(self.id_col, self.text_col).write.mode("overwrite").parquet(
+                os.path.join(jd, "input")
+            )
+            n = self.spark.read.parquet(os.path.join(jd, "input")).count()
+        except Exception:
+            with self._lock:  # release the reserved slot on a failed snapshot
+                self._jobs.pop(job_id, None)
+                self._opts_store.pop(job_id, None)
+                self._pending_input.discard(job_id)
+                self._flush()
+            shutil.rmtree(jd, ignore_errors=True)
+            raise
+        with self._lock:
+            self._jobs[job_id].n_input = n
+            self._pending_input.discard(job_id)
             self._flush()
         return self.get(job_id)
 
@@ -159,7 +194,13 @@ class JobProcessor:
             ]
 
     def results(self, job_id: str) -> tuple[DataFrame, DataFrame]:
-        """-> (output rows, stats) for a COMPLETED job (batch.go:155-167)."""
+        """-> (output rows, stats) for a COMPLETED job (batch.go:155-167).
+
+        Lifetime contract: the returned DataFrames are LAZY readers over
+        the job directory; evict() deletes that directory when the TTL
+        passes. Callers that hold results across evictions must
+        collect() or copy (write elsewhere) promptly — the same
+        contract as reading any table another process may drop."""
         j = self.get(job_id)
         if j.status != COMPLETED:
             raise ResultNotReady(f"job {job_id} is {j.status}, not completed")
@@ -174,7 +215,10 @@ class JobProcessor:
         threaded pool below just loops this."""
         with self._lock:
             queued = sorted(
-                (j for j in self._jobs.values() if j.status == QUEUED),
+                (
+                    j for j in self._jobs.values()
+                    if j.status == QUEUED and j.id not in self._pending_input
+                ),
                 key=lambda j: j.created_at,
             )
             if not queued:
@@ -198,7 +242,13 @@ class JobProcessor:
         opts = self._opts_store.get(job_id)
         if opts is None:  # restarted processor: rebuild from the ledger
             j = self.get(job_id)
-            opts = PipelineOptions(**j.options)
+            from .config import DedupConfig
+
+            od = dict(j.options)
+            cfg_d = od.pop("dedup_cfg", None) or {}
+            opts = PipelineOptions(**od)
+            if cfg_d:  # restore the submitted dedup config, not the default
+                opts.dedup_cfg = DedupConfig(**cfg_d)
         try:
             inp = self.spark.read.parquet(os.path.join(jd, "input"))
             res: PipelineRunResult = run_pipeline(

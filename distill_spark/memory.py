@@ -120,13 +120,13 @@ class MemoryStore:
         return F.pmod(F.xxhash64(F.col("id")), F.lit(self.n_buckets)).cast("int")
 
     def _buckets_of(self, ids) -> list[int]:
-        """Bucket set of a (small) Python id list, via the same JVM hash
-        the partitioning uses."""
-        ids = list(ids)
-        if not ids:
-            return []
-        df = self.spark.createDataFrame([(i,) for i in ids], "id string")
-        return sorted({r["b"] for r in df.select(self._bucket_expr().alias("b")).distinct().collect()})
+        """Bucket set of a (small) Python id list, via a driver-side
+        XXH64 that is bit-identical to the JVM `xxhash64` used by the
+        partitioning expression (pinned in tests) — no Spark job per
+        expire/supersede/dup-touch call."""
+        from .functions.hashing import xxhash64_py
+
+        return sorted({xxhash64_py(i) % self.n_buckets for i in set(ids)})
 
     def _guard_max(self) -> int:
         return int(self.cfg.extra.get("dup_edges_max", 1_000_000))
@@ -155,7 +155,11 @@ class MemoryStore:
         if not has_data(p):
             return self.spark.createDataFrame([], self._schema()) \
                 .withColumn("bucket", self._bucket_expr())
-        df = self.spark.read.parquet(p)
+        # mergeSchema: files written before a schema-extending feature was
+        # enabled (e.g. the embedding column) sit beside newer files; the
+        # default single-footer inference would nondeterministically hide
+        # the column and recall would silently fall back to sim=0
+        df = self.spark.read.option("mergeSchema", "true").parquet(p)
         if "minhash" not in df.columns:  # legacy store: derive once on read
             sigs = with_signatures(df.select("id", "text"), "text", "id",
                                    self.cfg, parts=("shingles", "minhash"))
@@ -184,6 +188,14 @@ class MemoryStore:
     def _append(self, df: DataFrame) -> None:
         if "bucket" not in df.columns:
             df = df.withColumn("bucket", self._bucket_expr())
+        if has_data(self._data_path()) and not self._is_partitioned():
+            # Legacy flat layout: appending bucket=N/ subdirs beside flat
+            # parquet files makes Spark's partition discovery silently
+            # drop one of the two layouts (observed: the entire
+            # pre-existing store vanished from snapshot()). Migrate the
+            # legacy store to the partitioned layout in the same publish.
+            self._publish(self._raw().unionByName(df, allowMissingColumns=True))
+            return
         append_dir(df, self._data_path(), partition_by="bucket")
 
     def _replace_buckets(self, df: DataFrame, buckets: list[int]) -> None:
