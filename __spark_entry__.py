@@ -192,7 +192,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force formulation, verified by the unchanged oracle. Shingles
     are xxhash64'd before any exchange (8 B keys, same ~N^2/2^64
     collision risk the engine accepts)."""
-    from distill_spark.operators.lsh import _allpairs_expr
+    from distill_spark.operators.lsh import pairs_and_overflow
 
     c = _corpus(spark, sf_dir).withColumn("ts", _TOKENS_SPARK("text"))
     sh = (
@@ -231,14 +231,22 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id", F.col("p.h").alias("h"))
     )
-    cand = (
-        pref.groupBy("h")
-        .agg(F.sort_array(F.collect_list("id")).alias("_ids"))
-        .filter(F.size("_ids") > 1)
-        .select(F.explode(_allpairs_expr(None)).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .dropDuplicates(["a", "b"])
+    # Round-4 skew cap (VERDICT r3 "what's wrong" #1): m near-identical
+    # docs share their rare prefix shingles, so one bucket would expand
+    # m^2/2 pairs inside a single collect_list task. Route through the
+    # engine's pairs_and_overflow: buckets <= cap expand all-pairs from
+    # the member array; OVERSIZED buckets stay as member ROWS and expand
+    # via a self-join on the bucket key — same candidate set, but the
+    # quadratic output is produced by the join (AQE skew-split
+    # distributes a hot key across tasks) instead of one task's array.
+    small_cand, overflow = pairs_and_overflow(pref, ["h"], "id", cap=256)
+    ov_pairs = (
+        overflow.select("h", F.col("id").alias("a"))
+        .join(overflow.select("h", F.col("id").alias("b")), "h")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
     )
+    cand = small_cand.unionByName(ov_pairs).dropDuplicates(["a", "b"])
     out = (
         cand.join(sh.select(F.col("id").alias("a"), F.col("hs").alias("ha")), "a")
         .join(sh.select(F.col("id").alias("b"), F.col("hs").alias("hb")), "b")

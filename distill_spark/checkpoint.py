@@ -244,7 +244,7 @@ def dedupe_checkpointed(
                 sigs.filter(F.col("minhash").isNotNull()).select(id_col, "minhash"),
                 "minhash", id_col, cfg,
             )
-            parts.append(pairs_from_buckets(buckets, ["band", "bucket"], id_col, cfg))
+            parts.append(pairs_from_buckets(buckets, ["bucket"], id_col, cfg))
         if "simhash" in channels:
             sh = sigs.filter(F.col("simhash").isNotNull()).select(id_col, "simhash")
             cand = hamming_candidate_pairs(sh, "simhash", cfg.simhash_hamming_k, id_col, cfg)

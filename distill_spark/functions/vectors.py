@@ -96,6 +96,73 @@ def topk_neighbors(
     )
 
 
+def _probe_assignments(
+    queries: DataFrame,
+    cn: "np.ndarray",
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    impl: str,
+) -> DataFrame:
+    """(qid, cluster) probe rows: each query's n_probe nearest centroids
+    (deterministic order: sim desc, cluster index asc).
+
+    impl="distributed" (default): one Arrow-batched numpy matmul per
+    query batch against the broadcast centroid matrix — scales to any
+    query-batch size with zero driver loops. impl="driver": collect the
+    queries and scan on the driver — kept for tiny interactive query
+    sets where a Spark stage is pure overhead."""
+    spark = queries.sparkSession
+    if impl == "driver":
+        qrows = queries.select(id_col, vec_col).collect()
+        probe_rows = []
+        for r in qrows:
+            qv = np.asarray(r[vec_col], dtype=np.float64)
+            qn = qv / max(np.linalg.norm(qv), 1e-12)
+            sims = cn @ qn
+            order = sorted(range(len(sims)), key=lambda i: (-sims[i], i))[:n_probe]
+            for c in order:
+                probe_rows.append((r[id_col], int(c)))
+        return spark.createDataFrame(
+            probe_rows,
+            f"qid {queries.schema[id_col].dataType.simpleString()}, cluster int",
+        )
+
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("qid", queries.schema[id_col].dataType),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+    cnT = np.ascontiguousarray(cn.T, dtype=np.float64)
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = (mat / norms) @ cnT  # (batch, n_lists)
+            # stable argsort of -sims: ties keep cluster index ascending —
+            # the same deterministic order as the driver path
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(pdf[id_col].to_numpy(), order.shape[1]),
+                    "cluster": order.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return queries.select(id_col, vec_col).mapInPandas(batch, schema=schema)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -106,6 +173,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     init_ids: list | None = None,
+    probe_impl: str = "distributed",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
     with k-means (operators.kmeans — one Arrow BLAS assignment pass, one
@@ -114,10 +182,13 @@ def ivf_topk(
     scale path for ANN alongside the banded hyperplane LSH
     (embedding_dup_pairs_lsh); topk_neighbors is the exact baseline.
 
-    n_probe == n_lists degenerates to exact brute force (tested). The
-    probe decision is a driver-side numpy scan of the (tiny) centroid
-    matrix per query — queries are a broadcast-sized set by contract,
-    like the reference's single query vector (commits.go:216-250)."""
+    n_probe == n_lists degenerates to exact brute force (tested). Probe
+    selection scores each query against the (tiny, broadcast) centroid
+    matrix in a vectorized Arrow pass (probe_impl="distributed",
+    default — a 10^6-query batch never touches the driver);
+    probe_impl="driver" keeps the driver-side scan for tiny interactive
+    query sets (the reference's single query vector,
+    commits.go:216-250)."""
     import numpy as np
 
     from pyspark.sql import Window
@@ -131,20 +202,8 @@ def ivf_topk(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
     n_probe = min(n_probe, len(centroids))
-
-    qrows = queries.select(id_col, vec_col).collect()
-    probe_rows = []
-    for r in qrows:
-        qv = np.asarray(r[vec_col], dtype=np.float64)
-        qn = qv / max(np.linalg.norm(qv), 1e-12)
-        sims = cn @ qn
-        # deterministic probe order: sim desc, cluster index asc
-        order = sorted(range(len(sims)), key=lambda i: (-sims[i], i))[:n_probe]
-        for c in order:
-            probe_rows.append((r[id_col], int(c)))
-    spark = corpus.sparkSession
-    probes = spark.createDataFrame(
-        probe_rows, f"qid {queries.schema[id_col].dataType.simpleString()}, cluster int"
+    probes = _probe_assignments(
+        queries, cn, n_probe, id_col, vec_col, probe_impl
     )
 
     member_vecs = assigned.join(corpus.select(id_col, vec_col), id_col).select(

@@ -84,7 +84,8 @@ class StoreResult:
 class MemoryStore:
     def __init__(self, spark: SparkSession, path: str, cfg: DedupConfig | None = None,
                  dup_jaccard: float = 0.85, conflict_jaccard: float = 0.5,
-                 n_buckets: int = 16, embedding_provider=None):
+                 n_buckets: int = 16, embedding_provider=None,
+                 backend: str = "dirs"):
         """embedding_provider (embedding.EmbeddingProvider, optional):
         when set, every stored row also persists an `embedding` column
         computed by the provider, and recall() scores similarity as
@@ -93,14 +94,31 @@ class MemoryStore:
         (store.go:229-239); without a provider the shingle predicate is
         the network-free stand-in. Write-time dedup stays on the exact
         shingle channel either way (its thresholds are calibrated
-        there)."""
+        there).
+
+        backend: "dirs" (default) — the atomic parquet-directory layout
+        (storeio); "versioned" — the copy-on-write versioned-manifest
+        table (tableio.VersionedTable): mutations commit a new SNAPSHOT,
+        so concurrent readers pinned to an older version keep a
+        consistent view through any rewrite — the property the
+        dir-overwrite layout cannot provide (its readers race the
+        rename). The Iceberg/Delta seam, sandbox-feasible."""
         self.spark, self.path = spark, path
         self.cfg = cfg or DedupConfig()
         self.dup_jaccard, self.conflict_jaccard = dup_jaccard, conflict_jaccard
         self.n_buckets = n_buckets
         self.embedding_provider = embedding_provider
+        self.backend = backend
         os.makedirs(path, exist_ok=True)
-        recover_dir(self._data_path())  # heal a crash from a prior run
+        if backend == "versioned":
+            from .tableio import VersionedTable
+
+            self._table = VersionedTable(
+                spark, self._data_path(), partition_by="bucket"
+            )
+        else:
+            self._table = None
+            recover_dir(self._data_path())  # heal a crash from a prior run
         # lifecycle event handlers (reference OnLifecycleEvent,
         # sqlite.go:724-736): called synchronously, registration order
         self._handlers: list = []
@@ -151,6 +169,11 @@ class MemoryStore:
     def _raw(self) -> DataFrame:
         """Store rows WITH the bucket partition column (internal)."""
         p = self._data_path()
+        if self._table is not None:
+            if not self._table.files():
+                return self.spark.createDataFrame([], self._schema()) \
+                    .withColumn("bucket", self._bucket_expr())
+            return self._table.read()
         recover_dir(p)
         if not has_data(p):
             return self.spark.createDataFrame([], self._schema()) \
@@ -171,6 +194,8 @@ class MemoryStore:
         return df
 
     def _is_partitioned(self) -> bool:
+        if self._table is not None:
+            return True  # the versioned table is always bucket-partitioned
         p = self._data_path()
         return os.path.isdir(p) and any(
             name.startswith("bucket=") for name in os.listdir(p)
@@ -183,11 +208,17 @@ class MemoryStore:
         """Atomic full overwrite, hash-partitioned on bucket."""
         if "bucket" not in df.columns:
             df = df.withColumn("bucket", self._bucket_expr())
+        if self._table is not None:
+            self._table.publish(df)
+            return
         publish_dir(df, self._data_path(), partition_by="bucket")
 
     def _append(self, df: DataFrame) -> None:
         if "bucket" not in df.columns:
             df = df.withColumn("bucket", self._bucket_expr())
+        if self._table is not None:
+            self._table.append(df)
+            return
         if has_data(self._data_path()) and not self._is_partitioned():
             # Legacy flat layout: appending bucket=N/ subdirs beside flat
             # parquet files makes Spark's partition discovery silently
@@ -202,6 +233,11 @@ class MemoryStore:
         """Rewrite only the given bucket partitions with df's rows (df =
         the full new content of those buckets). Falls back to a full
         publish on a legacy unpartitioned store."""
+        if self._table is not None:
+            if "bucket" not in df.columns:
+                df = df.withColumn("bucket", self._bucket_expr())
+            self._table.replace_partitions(df, buckets)
+            return
         if not self._is_partitioned() and has_data(self._data_path()):
             untouched = self._raw().filter(~F.col("bucket").isin(buckets))
             self._publish(untouched.unionByName(df))
@@ -220,10 +256,10 @@ class MemoryStore:
         cfg = self.cfg
         bb_new = band_buckets(sig_new.filter(F.col("minhash").isNotNull()), "minhash", "id", cfg)
         bb_old = band_buckets(sig_old.filter(F.col("minhash").isNotNull()), "minhash", "id", cfg)
-        cond = ["band", "bucket"]
+        cond = ["bucket"]
         cand = (
-            bb_new.select(F.col("id").alias(a_col), "band", "bucket")
-            .join(bb_old.select(F.col("id").alias(b_col), "band", "bucket"), cond)
+            bb_new.select(F.col("id").alias(a_col), "bucket")
+            .join(bb_old.select(F.col("id").alias(b_col), "bucket"), cond)
             .select(a_col, b_col)
         )
         if anti_reflexive:

@@ -60,11 +60,14 @@ class DedupResult:
     conflicts: DataFrame | None # band pairs (a, b, jaccard)
     stats: DataFrame            # 1-row counts/reduction
     cached: DataFrame | None = None  # the persisted internal edge frame
+    aux_cached: tuple = ()      # other persisted internals (signatures,
+                                # candidate-pair frames)
 
     def unpersist(self) -> None:
-        """Release the caches dedupe() created (edges + signature stage);
-        long sessions running many dedupe() calls should call this."""
-        for df in (self.cached, self.edges):
+        """Release the caches dedupe() created (edges + signature +
+        candidate stages); long sessions running many dedupe() calls
+        should call this."""
+        for df in (self.cached, self.edges, *self.aux_cached):
             if df is not None:
                 try:
                     df.unpersist()
@@ -96,22 +99,47 @@ def candidate_edges(
         if "simhash" in channels:
             parts.append("simhash")
         sigs = with_signatures(meta, caption_col, id_col, cfg, parts=tuple(parts))
-        # the signature pass is the expensive stage and feeds up to 3
-        # consumers (banding, simhash blocks, jaccard verify) — always
-        # persist it (unlike the cheap JVM shingle projection, where
-        # persisting lost to recomputation; see config.persist_shingles)
+        # the signature pass is the expensive stage and feeds many
+        # consumers (banding x2 branches, ~11 reads by the recursive
+        # simhash pigeonhole, jaccard verify x3). Round-4 bandwidth fix:
+        # materialize the fat frame ONCE, then split it into SLIM
+        # per-column persisted frames and drop the fat cache — each
+        # consumer scan then moves only the bytes of its own column
+        # (the 24 B/row simhash reads stop dragging the ~2 KB/row
+        # shingle+minhash payload through the memory bus on every one
+        # of the ~16 downstream cache scans; measured 38.9 -> ~8 GB of
+        # input traffic at 1M rows).
         sigs = sigs.persist()
-        shingled = sigs.select(id_col, "shingles")
-        minhash_sig = (
-            sigs.filter(F.col("minhash").isNotNull()).select(id_col, "minhash")
-            if "minhash" in channels
-            else None
-        )
-        simhash_sig = (
-            sigs.filter(F.col("simhash").isNotNull()).select(id_col, "simhash")
-            if "simhash" in channels
-            else None
-        )
+        if "simhash" in channels:
+            # the first slim count materializes the fat cache as a side
+            # effect (an InMemoryRelation stores whole rows per
+            # partition on first scan), so no separate sigs.count()
+            shingled = sigs.select(id_col, "shingles").persist()
+            shingled.count()
+            minhash_sig = None
+            if "minhash" in channels:
+                minhash_sig = (
+                    sigs.filter(F.col("minhash").isNotNull())
+                    .select(id_col, "minhash").persist()
+                )
+                minhash_sig.count()
+            simhash_sig = (
+                sigs.filter(F.col("simhash").isNotNull())
+                .select(id_col, "simhash").persist()
+            )
+            simhash_sig.count()
+            sigs.unpersist()
+        else:
+            # without the simhash channel there are too few cache reads
+            # for the split to pay for its materialization jobs — serve
+            # consumers straight off the fat cache (round-3 shape)
+            shingled = sigs.select(id_col, "shingles")
+            minhash_sig = (
+                sigs.filter(F.col("minhash").isNotNull()).select(id_col, "minhash")
+                if "minhash" in channels
+                else None
+            )
+            simhash_sig = None
     else:
         from .shingle import tokens_col, shingles_col
 
@@ -137,11 +165,20 @@ def candidate_edges(
 
     edge_parts: list[DataFrame] = []
     cap_candidates: list[DataFrame] = []
+    sig_cached: list[DataFrame] = []
+    if cfg.sig_impl == "numpy" and need_caption_channels:
+        if "simhash" in channels:  # split caches own the data now
+            sig_cached.extend(
+                df for df in (shingled, minhash_sig, simhash_sig)
+                if df is not None
+            )
+        else:
+            sig_cached.append(sigs)
 
     if minhash_sig is not None:
         buckets = band_buckets(minhash_sig, "minhash", id_col, cfg)
         cap_candidates.append(
-            pairs_from_buckets(buckets, ["band", "bucket"], id_col, cfg)
+            pairs_from_buckets(buckets, ["bucket"], id_col, cfg)
         )
 
     if simhash_sig is not None:
@@ -157,12 +194,26 @@ def candidate_edges(
             )
         cap_candidates.append(cand)
 
+    aux_cached: list[DataFrame] = list(sig_cached)
     jac_cand = None
     if cap_candidates:
         jac_cand = cap_candidates[0]
         for c in cap_candidates[1:]:
             jac_cand = jac_cand.unionByName(c)
-        jac_cand = jac_cand.dropDuplicates(["a", "b"])
+        # eagerly materialized via localCheckpoint: the verify attach
+        # consumes the pair frame three times (member semi-join + both
+        # joins). A lazy persist is NOT enough — AQE launches the
+        # consumer subtrees concurrently and each raced to build the
+        # cache, re-running the whole candidate DAG per consumer
+        # (measured: the 32M-row bucket exchange executed 6x instead of
+        # 2x); and even persist+count proved evictable mid-query at 1M
+        # rows. localCheckpoint truncates the lineage, so consumers can
+        # only ever scan the (tiny) materialized pair blocks. On a real
+        # cluster an executor loss during the candidate phase then fails
+        # the job loudly instead of recomputing — acceptable for a
+        # frame this small; cfg.cc_reliable_checkpoint covers the
+        # long-lived CC state.
+        jac_cand = jac_cand.dropDuplicates(["a", "b"]).localCheckpoint(eager=True)
         edge_parts.append(
             verify_jaccard(
                 jac_cand, shingled.select(id_col, "shingles"),
@@ -176,28 +227,65 @@ def candidate_edges(
         edge_parts.append(verify_hamming(cand, ph, phash_col, cfg.phash_hamming_k, id_col))
 
     if "substring" in channels:
-        fp = with_fingerprints(meta.select(id_col, caption_col), caption_col, "fp", cfg,
-                               impl=cfg.winnow_impl)
-        fpx = fp.select(id_col, F.explode("fp").alias("fingerprint"))
-        # recall-preserving skew handling: small buckets all-pairs;
-        # oversized buckets (popular boilerplate fingerprints) refine to
-        # full-L-char-window sub-buckets where star topology is provably
-        # safe (winnow.refine_oversized docstring) — no silent pair loss
-        small_cand, overflow = pairs_and_overflow(
-            fpx, ["fingerprint"], id_col, cfg, cap=cfg.max_fp_bucket_size
-        )
-        refined = refine_oversized(
-            overflow, meta.select(id_col, caption_col), cfg, id_col, caption_col
-        )
-        sub_cand = pairs_from_buckets(
-            refined, ["fingerprint", "subfp"], id_col, cfg,
-            cap=cfg.max_fp_bucket_size, oversize="star",
-        )
-        cand = small_cand.unionByName(sub_cand).dropDuplicates(["a", "b"])
-        edge_parts.append(
-            verify_lcs(cand, meta.select(id_col, caption_col), cfg, caption_col,
-                       id_col, impl=cfg.lcs_impl)
-        )
+        if cfg.lcs_impl == "ctx":
+            # round-4 path: verification INSIDE the bucket expansion from
+            # packed byte contexts (winnow.with_fingerprint_ctx /
+            # lsh.ctx_verified_pairs) — captions never attach to pairs.
+            # Oversized buckets refine to star-safe full-window
+            # sub-buckets whose pairs are verified BY CONSTRUCTION (every
+            # member contains the same exact L-char window); only the
+            # rare `unknown` pairs (non-ASCII doc or repeated k-gram)
+            # take the exact caption verify.
+            from .winnow import with_fingerprint_ctx
+            from .lsh import ctx_verified_pairs
+
+            fpx = with_fingerprint_ctx(
+                meta.select(id_col, caption_col), caption_col, cfg, id_col
+            )
+            verified, unknown, overflow = ctx_verified_pairs(
+                fpx, id_col, cfg, cap=cfg.max_fp_bucket_size
+            )
+            refined = refine_oversized(
+                overflow, meta.select(id_col, caption_col), cfg, id_col, caption_col
+            )
+            sub_pairs = pairs_from_buckets(
+                refined, ["fingerprint", "subfp"], id_col, cfg,
+                cap=cfg.max_fp_bucket_size, oversize="star",
+            )
+            unknown = unknown.localCheckpoint(eager=True)  # see jac_cand
+            fallback_edges = verify_lcs(
+                unknown, meta.select(id_col, caption_col), cfg, caption_col,
+                id_col, impl="exact",
+            )
+            edge_parts.append(
+                verified.unionByName(sub_pairs).unionByName(fallback_edges)
+            )
+        else:
+            fp = with_fingerprints(meta.select(id_col, caption_col), caption_col,
+                                   "fp", cfg, impl=cfg.winnow_impl)
+            fpx = fp.select(id_col, F.explode("fp").alias("fingerprint"))
+            # recall-preserving skew handling: small buckets all-pairs;
+            # oversized buckets (popular boilerplate fingerprints) refine to
+            # full-L-char-window sub-buckets where star topology is provably
+            # safe (winnow.refine_oversized docstring) — no silent pair loss
+            small_cand, overflow = pairs_and_overflow(
+                fpx, ["fingerprint"], id_col, cfg, cap=cfg.max_fp_bucket_size
+            )
+            refined = refine_oversized(
+                overflow, meta.select(id_col, caption_col), cfg, id_col, caption_col
+            )
+            sub_cand = pairs_from_buckets(
+                refined, ["fingerprint", "subfp"], id_col, cfg,
+                cap=cfg.max_fp_bucket_size, oversize="star",
+            )
+            # eagerly materialized for the same multi-consumer reuse
+            # reasons as jac_cand above
+            cand = small_cand.unionByName(sub_cand).dropDuplicates(["a", "b"]) \
+                .localCheckpoint(eager=True)
+            edge_parts.append(
+                verify_lcs(cand, meta.select(id_col, caption_col), cfg,
+                           caption_col, id_col, impl=cfg.lcs_impl)
+            )
 
     if not edge_parts:
         raise ValueError("no channels enabled")
@@ -209,7 +297,7 @@ def candidate_edges(
     empty_pairs = meta.sparkSession.createDataFrame(
         [], f"a {id_sql_type}, b {id_sql_type}"
     )
-    return edges, (jac_cand if jac_cand is not None else empty_pairs)
+    return edges, (jac_cand if jac_cand is not None else empty_pairs), aux_cached
 
 
 def dedupe(
@@ -246,7 +334,9 @@ def dedupe(
         meta.withColumn(id_col, F.xxhash64(F.col(id_col))) if use_int else meta
     )
 
-    edges_i, jac_cand = candidate_edges(meta_i, cfg, id_col, caption_col, phash_col, channels)
+    edges_i, jac_cand, aux_cached = candidate_edges(
+        meta_i, cfg, id_col, caption_col, phash_col, channels
+    )
     # edges feed CC (which materializes them via checkpoint) AND are part of
     # the result — persist so user actions on result.edges don't re-run the
     # whole candidate+verify DAG.
@@ -324,4 +414,5 @@ def dedupe(
         conflicts=conflicts,
         stats=cluster_stats(assignments),
         cached=edges_i,
+        aux_cached=tuple(aux_cached),
     )

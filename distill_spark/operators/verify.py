@@ -26,6 +26,21 @@ from ..config import DedupConfig, DEFAULT
 
 
 def _attach(pairs: DataFrame, feats: DataFrame, id_col: str, col: str) -> DataFrame:
+    """Join the per-id feature column onto both pair sides.
+
+    The feature table is first SEMI-JOINED to the candidate members
+    (distinct ids appearing in pairs): candidates touch only the dup
+    population, so the restricted table is a small fraction of the
+    corpus — at 1M rows this turned each attach side from a full-table
+    208 MB exchange into a members-only frame small enough for AQE to
+    broadcast, taking the per-pair feature payload out of the shuffle
+    entirely (measured: the two LCS-verify attach exchanges, 563 + 179
+    MB, disappeared). At any scale the attach cost becomes O(members),
+    not O(corpus)."""
+    members = (
+        pairs.select(F.explode(F.array("a", "b")).alias(id_col)).distinct()
+    )  # one explode, not a 2-branch union: pairs' lineage runs once here
+    feats = feats.join(members, id_col, "left_semi")
     fa = feats.select(F.col(id_col).alias("a"), F.col(col).alias(f"_{col}_a"))
     fb = feats.select(F.col(id_col).alias("b"), F.col(col).alias(f"_{col}_b"))
     return pairs.join(fa, "a").join(fb, "b")

@@ -481,9 +481,9 @@ class SessionStore:
             bb = band_buckets(sb.filter(F.col("minhash").isNotNull()),
                               "minhash", "id_", self.cfg)
             cand = (
-                ba.select(F.col("id_").alias(acol), "band", "bucket")
-                .join(bb.select(F.col("id_").alias(bcol), "band", "bucket"),
-                      ["band", "bucket"])
+                ba.select(F.col("id_").alias(acol), "bucket")
+                .join(bb.select(F.col("id_").alias(bcol), "bucket"),
+                      ["bucket"])
                 .select(acol, bcol).dropDuplicates([acol, bcol])
             )
             if anti:

@@ -151,9 +151,9 @@ def incremental_dedupe_batch(
         )
 
     cand_old = (
-        bb_new.select(F.col("image_id").alias("new_id"), "band", "bucket")
-        .join(bb_old.select(F.col("image_id").alias("old_id"), "band", "bucket"),
-              ["band", "bucket"])
+        bb_new.select(F.col("image_id").alias("new_id"), "bucket")
+        .join(bb_old.select(F.col("image_id").alias("old_id"), "bucket"),
+              ["bucket"])
         .select("new_id", "old_id")
         .dropDuplicates(["new_id", "old_id"])
     )
@@ -161,9 +161,9 @@ def incremental_dedupe_batch(
 
     # intra-batch: band self-join, id order (a earlier than b)
     cand_intra = (
-        bb_new.select(F.col("image_id").alias("b"), "band", "bucket")
-        .join(bb_new.select(F.col("image_id").alias("a"), "band", "bucket"),
-              ["band", "bucket"])
+        bb_new.select(F.col("image_id").alias("b"), "bucket")
+        .join(bb_new.select(F.col("image_id").alias("a"), "bucket"),
+              ["bucket"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .dropDuplicates(["a", "b"])

@@ -1,0 +1,214 @@
+"""Versioned-manifest parquet table: snapshot isolation on a plain
+filesystem — the offline stand-in for the Iceberg/Delta layer SURVEY
+§1.1 promises under the stateful stores.
+
+Reference analog: the SQLite schema/migration layer the reference keeps
+under its memory store (/root/reference/pkg/memory/sqlite.go:67-114) —
+one writer, many readers, reads never observe a half-applied mutation.
+
+Layout (all under one table root):
+
+    data/bucket=3/f-<uuid>.parquet     immutable data files
+    _v/00000001.json … 0000000N.json   manifests: the file list (+ the
+                                       partition value per file) that IS
+                                       version N
+    _v/LATEST                          pointer to the live version
+                                       (atomic os.replace)
+
+Semantics:
+
+  * COPY-ON-WRITE. Mutations write NEW files, then a NEW manifest, then
+    swap LATEST. Existing files are never modified or deleted by a
+    writer — a reader that pinned version N keeps a consistent view for
+    as long as it needs it, *through* any number of concurrent
+    publishes/appends/partition-rewrites (the plain dir-overwrite
+    backend cannot do this: its readers race the rename).
+  * ATOMIC per operation. A crash before the LATEST swap leaves the
+    table at the previous version; orphaned data files are invisible
+    (readers only see manifest-listed files) and reaped by vacuum().
+  * TIME TRAVEL. read(version=N) reads any retained manifest.
+  * vacuum(keep) drops manifests older than the last `keep` versions
+    and any data file no retained manifest references.
+
+Single-writer by contract (like the stores it backs); version_check on
+commit makes a lost-update race loud instead of silent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentWriteError(RuntimeError):
+    """LATEST moved between read-for-commit and commit (two writers)."""
+
+
+class VersionedTable:
+    def __init__(self, spark: SparkSession, path: str,
+                 partition_by: str | None = None):
+        self.spark, self.path = spark, path
+        self.partition_by = partition_by
+        os.makedirs(self._vdir(), exist_ok=True)
+        os.makedirs(self._ddir(), exist_ok=True)
+
+    # ------------------------------------------------------------ layout
+    def _vdir(self) -> str:
+        return os.path.join(self.path, "_v")
+
+    def _ddir(self) -> str:
+        return os.path.join(self.path, "data")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._vdir(), f"{version:08d}.json")
+
+    def current_version(self) -> int:
+        """0 = empty table (no committed manifest)."""
+        p = os.path.join(self._vdir(), "LATEST")
+        if not os.path.exists(p):
+            return 0
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def _manifest(self, version: int) -> dict:
+        if version == 0:
+            return {"version": 0, "files": {}}
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    # ------------------------------------------------------------- read
+    def files(self, version: int | None = None) -> dict[str, dict]:
+        """{relpath: {partition value info}} of a version's data files."""
+        v = self.current_version() if version is None else version
+        return self._manifest(v)["files"]
+
+    def read(self, schema: str | None = None,
+             version: int | None = None) -> DataFrame:
+        """DataFrame over the PINNED file list of `version` (default:
+        current). The plan holds explicit file paths — later commits or
+        vacuums of *newer* versions cannot change what it reads."""
+        files = self.files(version)
+        if not files:
+            if schema is None:
+                raise ValueError("empty table and no schema given")
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self._ddir(), rel) for rel in sorted(files)]
+        reader = self.spark.read.option("mergeSchema", "true")
+        if self.partition_by:
+            reader = reader.option("basePath", self._ddir())
+        return reader.parquet(*paths)
+
+    # ------------------------------------------------------------ write
+    def _stage_files(self, df: DataFrame) -> dict[str, dict]:
+        """Write df's rows as new immutable files under data/; returns
+        the manifest entries {relpath: {"part": value-or-None}}."""
+        tmp = os.path.join(self.path, "_stage_" + uuid.uuid4().hex[:8])
+        w = df.write.mode("overwrite")
+        if self.partition_by:
+            w = w.partitionBy(self.partition_by)
+        w.parquet(tmp)
+        entries: dict[str, dict] = {}
+        for root, dirs, names in os.walk(tmp):
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                rel_dir = os.path.relpath(root, tmp)
+                part = None
+                if rel_dir != "." and "=" in rel_dir:
+                    part = rel_dir.split("=", 1)[1]
+                new_name = f"f-{uuid.uuid4().hex[:12]}.parquet"
+                dst_dir = (
+                    self._ddir() if rel_dir == "."
+                    else os.path.join(self._ddir(), rel_dir)
+                )
+                os.makedirs(dst_dir, exist_ok=True)
+                os.replace(os.path.join(root, name),
+                           os.path.join(dst_dir, new_name))
+                rel = (new_name if rel_dir == "."
+                       else os.path.join(rel_dir, new_name))
+                entries[rel] = {"part": part}
+        shutil.rmtree(tmp, ignore_errors=True)
+        return entries
+
+    def _commit(self, files: dict[str, dict], expected_version: int) -> int:
+        if self.current_version() != expected_version:
+            raise ConcurrentWriteError(
+                f"table {self.path} moved past v{expected_version} during "
+                "this write (second writer?)"
+            )
+        new_v = expected_version + 1
+        man = {"version": new_v, "files": files}
+        mp = self._manifest_path(new_v)
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, mp)
+        lp = os.path.join(self._vdir(), "LATEST")
+        ltmp = lp + f".tmp{uuid.uuid4().hex[:6]}"
+        with open(ltmp, "w") as f:
+            f.write(str(new_v))
+        os.replace(ltmp, lp)
+        return new_v
+
+    def publish(self, df: DataFrame) -> int:
+        """Full overwrite (CREATE OR REPLACE): next version = df only."""
+        v = self.current_version()
+        return self._commit(self._stage_files(df), v)
+
+    def append(self, df: DataFrame) -> int:
+        """Transactional append: next version = current files + df's."""
+        v = self.current_version()
+        files = dict(self._manifest(v)["files"])
+        files.update(self._stage_files(df))
+        return self._commit(files, v)
+
+    def replace_partitions(self, df: DataFrame, values: list) -> int:
+        """MERGE-shaped rewrite: next version drops every file whose
+        partition value is in `values` and adds df's files (df must hold
+        exactly the new content of those partitions). Old files remain
+        on disk for older versions' readers until vacuum()."""
+        if not self.partition_by:
+            raise ValueError("replace_partitions needs partition_by")
+        v = self.current_version()
+        drop = {str(x) for x in values}
+        files = {
+            rel: info
+            for rel, info in self._manifest(v)["files"].items()
+            if str(info.get("part")) not in drop
+        }
+        files.update(self._stage_files(df))
+        return self._commit(files, v)
+
+    # ---------------------------------------------------------- maintain
+    def vacuum(self, keep: int = 2) -> list[str]:
+        """Drop manifests older than the newest `keep` and delete data
+        files referenced by NO retained manifest. Returns deleted paths.
+        Readers pinned to vacuumed versions will fail loudly (file gone)
+        — the same contract as Iceberg's expire_snapshots."""
+        cur = self.current_version()
+        keep_versions = set(range(max(1, cur - keep + 1), cur + 1))
+        retained: set[str] = set()
+        for v in keep_versions:
+            retained.update(self._manifest(v)["files"])
+        deleted: list[str] = []
+        # old manifests
+        for name in os.listdir(self._vdir()):
+            if name.endswith(".json"):
+                v = int(name.split(".")[0])
+                if v not in keep_versions:
+                    os.remove(os.path.join(self._vdir(), name))
+        # unreferenced data files (includes orphans from crashed commits)
+        for root, dirs, names in os.walk(self._ddir()):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(root, name), self._ddir())
+                if rel not in retained:
+                    os.remove(os.path.join(root, name))
+                    deleted.append(rel)
+        return deleted

@@ -36,7 +36,7 @@ shingled.count(); tick("shingled")
 
 sig = with_minhash(shingled, cfg=cfg)
 buckets = band_buckets(sig, cfg=cfg)
-mh_cand = pairs_from_buckets(buckets, ["band", "bucket"], cfg=cfg).cache()
+mh_cand = pairs_from_buckets(buckets, ["bucket"], cfg=cfg).cache()
 print("mh cand:", mh_cand.count()); tick("minhash candidates")
 
 sh = with_simhash(shingled, cfg=cfg)

@@ -32,8 +32,8 @@ shingled.count(); tick("shingled")
 
 sig = with_minhash(shingled, cfg=cfg)
 buckets = band_buckets(sig, cfg=cfg).cache()
-print("band bucket stats:", bucket_stats(buckets, ["band", "bucket"]).collect())
-mh_cand = pairs_from_buckets(buckets, ["band", "bucket"], cfg=cfg).cache()
+print("band bucket stats:", bucket_stats(buckets, ["bucket"]).collect())
+mh_cand = pairs_from_buckets(buckets, ["bucket"], cfg=cfg).cache()
 print("minhash candidates:", mh_cand.count()); tick("minhash channel cand")
 mh_ver = verify_jaccard(mh_cand, shingled, cfg.jaccard_threshold)
 print("minhash verified:", mh_ver.count()); tick("minhash verified")

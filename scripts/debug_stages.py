@@ -48,7 +48,7 @@ buckets = band_buckets(sig, "minhash", "image_id", cfg)
 print("buckets:", buckets.count())
 tick("band_buckets")
 
-cand = pairs_from_buckets(buckets, ["band", "bucket"], "image_id", cfg)
+cand = pairs_from_buckets(buckets, ["bucket"], "image_id", cfg)
 print("cand:", cand.count())
 tick("lsh pairs")
 

@@ -1,0 +1,61 @@
+"""Shuffle-byte attribution for the dedup pipeline.
+
+Runs the full dedupe() at N rows with the Spark UI enabled, then pulls
+per-stage shuffle read/write + input bytes from the local REST API and
+prints the top stages by shuffle read plus totals. This is the feedback
+loop for the round-4 objective: cut shuffled signature-payload bytes.
+
+Usage: python scripts/shuffle_bytes.py [n=1000000] [cores=16]
+"""
+
+import json
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, "/root/repo")
+
+from distill_spark.session import get_spark
+from distill_spark.config import DedupConfig
+from distill_spark.operators import dedupe
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+CORES = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+spark = get_spark(
+    "shufbytes", cores=CORES, shuffle_partitions=2 * CORES,
+    extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4050"},
+)
+
+from bench import ensure_images  # noqa: E402
+
+path = ensure_images(spark, N)
+images = spark.read.parquet(path)
+
+t0 = time.time()
+cnt = dedupe(images, DedupConfig()).assignments.count()
+wall = time.time() - t0
+print(f"rows={cnt} wall={wall:.1f}s", flush=True)
+
+
+def get(url):
+    with urllib.request.urlopen(url) as r:
+        return json.loads(r.read())
+
+
+apps = get("http://localhost:4050/api/v1/applications")
+app_id = apps[0]["id"]
+stages = get(f"http://localhost:4050/api/v1/applications/{app_id}/stages?status=complete")
+
+tot_r = sum(s["shuffleReadBytes"] for s in stages)
+tot_w = sum(s["shuffleWriteBytes"] for s in stages)
+tot_in = sum(s["inputBytes"] for s in stages)
+print(f"\nTOTAL shuffle read {tot_r/1e9:.2f} GB | write {tot_w/1e9:.2f} GB | input {tot_in/1e9:.2f} GB")
+print(f"{'stage':>6} {'read MB':>9} {'write MB':>9} {'in MB':>8} {'tasks':>6}  name")
+for s in sorted(stages, key=lambda s: -(s["shuffleReadBytes"] + s["shuffleWriteBytes"]))[:25]:
+    nm = s["name"].split("\n")[0][:80]
+    print(
+        f"{s['stageId']:>6} {s['shuffleReadBytes']/1e6:>9.1f} "
+        f"{s['shuffleWriteBytes']/1e6:>9.1f} {s['inputBytes']/1e6:>8.1f} "
+        f"{s['numCompleteTasks']:>6}  {nm}"
+    )

@@ -1,8 +1,12 @@
-"""Per-stage wall-time breakdown of the dedupe pipeline on the bench
-images table. Usage: python scripts/profile_1m.py [n] [cores]"""
+"""Per-phase shuffle/input byte attribution: runs the dedupe pipeline
+stage family by stage family (same building blocks as dedupe()) and
+diffs the cluster-cumulative shuffle read/write + input bytes between
+phases. Usage: python scripts/shuffle_phases.py [n] [cores]"""
 
+import json
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, "/root/repo")
 
@@ -21,57 +25,80 @@ from distill_spark.operators.components import connected_components
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 CORES = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 
-spark = get_spark("profile", cores=CORES, shuffle_partitions=2 * CORES)
+spark = get_spark(
+    "shufphase", cores=CORES, shuffle_partitions=2 * CORES,
+    extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4050"},
+)
 cfg = DedupConfig()
 
-from bench import ensure_images
+from bench import ensure_images  # noqa: E402
+
 path = ensure_images(spark, N)
 images = spark.read.parquet(path)
 meta = images.select("image_id", "caption", "phash")
-
-t = {}
-
-
-def mark(name, t0):
-    t[name] = round(time.time() - t0, 1)
-    print(f"== {name}: {t[name]}s", flush=True)
+meta = meta.withColumn("image_id", F.xxhash64("image_id"))  # int-id mode
 
 
-t0 = time.time()
+def totals():
+    with urllib.request.urlopen("http://localhost:4050/api/v1/applications") as r:
+        app_id = json.loads(r.read())[0]["id"]
+    with urllib.request.urlopen(
+        f"http://localhost:4050/api/v1/applications/{app_id}/stages?status=complete"
+    ) as r:
+        stages = json.loads(r.read())
+    return (
+        sum(s["shuffleReadBytes"] for s in stages),
+        sum(s["shuffleWriteBytes"] for s in stages),
+        sum(s["inputBytes"] for s in stages),
+    )
+
+
+_prev = [0, 0, 0, time.time()]
+
+
+def mark(name):
+    r, w, i = totals()
+    dt = time.time() - _prev[3]
+    print(
+        f"{name:>22}: shuf_read {(r - _prev[0])/1e6:8.1f} MB | "
+        f"shuf_write {(w - _prev[1])/1e6:8.1f} MB | "
+        f"input {(i - _prev[2])/1e6:8.1f} MB | {dt:6.1f}s",
+        flush=True,
+    )
+    _prev[:] = [r, w, i, time.time()]
+
+
+mark("startup")
+
 sigs = with_signatures(meta, "caption", "image_id", cfg,
                        parts=("shingles", "minhash", "simhash")).persist()
 sigs.count()
-mark("signatures", t0)
+mark("signatures+persist")
 
-t0 = time.time()
 bb = band_buckets(sigs.filter(F.col("minhash").isNotNull()).select("image_id", "minhash"),
                   "minhash", "image_id", cfg)
 mh_cand = pairs_from_buckets(bb, ["bucket"], "image_id", cfg).persist()
-print("mh_cand", mh_cand.count())
-mark("minhash_buckets+pairs", t0)
+print("  mh_cand:", mh_cand.count())
+mark("minhash buckets+pairs")
 
-t0 = time.time()
 sh = sigs.filter(F.col("simhash").isNotNull()).select("image_id", "simhash")
 sh_cand = hamming_candidate_pairs(sh, "simhash", cfg.simhash_hamming_k, "image_id", cfg)
 sh_cand = verify_hamming(sh_cand, sh, "simhash", cfg.simhash_hamming_k, "image_id").persist()
-print("sh_cand", sh_cand.count())
-mark("simhash_channel", t0)
+print("  sh_cand:", sh_cand.count())
+mark("simhash channel")
 
-t0 = time.time()
 jac = mh_cand.unionByName(sh_cand).dropDuplicates(["a", "b"])
 jedges = verify_jaccard(jac, sigs.select("image_id", "shingles"),
                         cfg.jaccard_threshold, "shingles", "image_id").persist()
-print("jedges", jedges.count())
-mark("jaccard_verify", t0)
+print("  jedges:", jedges.count())
+mark("jaccard verify")
 
-t0 = time.time()
 ph = meta.select("image_id", "phash")
 phc = hamming_candidate_pairs(ph, "phash", cfg.phash_hamming_k, "image_id", cfg)
 phe = verify_hamming(phc, ph, "phash", cfg.phash_hamming_k, "image_id").persist()
-print("phash_edges", phe.count())
-mark("phash_channel", t0)
+print("  ph_edges:", phe.count())
+mark("phash channel")
 
-t0 = time.time()
 fp = with_fingerprints(meta.select("image_id", "caption"), "caption", "fp", cfg,
                        impl=cfg.winnow_impl)
 fpx = fp.select("image_id", F.explode("fp").alias("fingerprint"))
@@ -80,25 +107,16 @@ small_cand, overflow = pairs_and_overflow(fpx, ["fingerprint"], "image_id", cfg,
 refined = refine_oversized(overflow, meta.select("image_id", "caption"), cfg)
 sub_cand = pairs_from_buckets(refined, ["fingerprint", "subfp"], "image_id", cfg,
                               cap=cfg.max_fp_bucket_size, oversize="star")
-wc = small_cand.unionByName(sub_cand).dropDuplicates(["a", "b"]).persist()
-print("winnow_cand", wc.count())
-mark("winnow_candidates", t0)
-
-t0 = time.time()
-ledges = verify_lcs(wc, meta.select("image_id", "caption"), cfg, "caption",
+wc = small_cand.unionByName(sub_cand).dropDuplicates(["a", "b"])
+wedges = verify_lcs(wc, meta.select("image_id", "caption"), cfg, "caption",
                     "image_id", impl=cfg.lcs_impl).persist()
-print("ledges", ledges.count())
-mark("lcs_verify", t0)
+print("  w_edges:", wedges.count())
+mark("winnow+lcs channel")
 
-t0 = time.time()
-edges = jedges.unionByName(phe).unionByName(ledges).dropDuplicates(["a", "b"]).persist()
-print("edges", edges.count())
-mark("edge_union", t0)
+edges = jedges.unionByName(phe).unionByName(wedges).dropDuplicates(["a", "b"]).persist()
+print("  edges:", edges.count())
+mark("edge union")
 
-t0 = time.time()
-assign = connected_components(edges, nodes=meta.select("image_id"),
-                              id_col="image_id", cfg=cfg)
-print("assign", assign.count())
-mark("connected_components", t0)
-
-print("TOTALS", t, "sum", round(sum(t.values()), 1))
+cc = connected_components(edges, nodes=None, id_col="image_id", cfg=cfg)
+print("  cc rows:", cc.count())
+mark("connected components")

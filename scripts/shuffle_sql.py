@@ -1,0 +1,79 @@
+"""Exchange-level shuffle attribution via the SQL REST API: runs
+dedupe() once, then dumps every Exchange node's data size / records
+with surrounding plan-node context. Usage:
+python scripts/shuffle_sql.py [n] [cores]"""
+
+import json
+import re
+import sys
+import urllib.request
+
+sys.path.insert(0, "/root/repo")
+
+from distill_spark.session import get_spark
+from distill_spark.config import DedupConfig
+from distill_spark.operators import dedupe
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+CORES = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+spark = get_spark(
+    "shufsql", cores=CORES, shuffle_partitions=2 * CORES,
+    extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4051"},
+)
+
+from bench import ensure_images  # noqa: E402
+
+images = spark.read.parquet(ensure_images(spark, N))
+cnt = dedupe(images, DedupConfig()).assignments.count()
+print("rows:", cnt)
+
+
+def get(url):
+    with urllib.request.urlopen(url) as r:
+        return json.loads(r.read())
+
+
+app_id = get("http://localhost:4051/api/v1/applications")[0]["id"]
+sqls = get(f"http://localhost:4051/api/v1/applications/{app_id}/sql?details=true&length=200")
+
+
+def parse_bytes(s):
+    # metric values like "total (min, med, max)\n1250.1 MiB (..." or "64.0 B"
+    m = re.search(r"([\d.]+)\s*(B|KiB|MiB|GiB)", s)
+    if not m:
+        return 0
+    mult = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30}[m.group(2)]
+    return float(m.group(1)) * mult
+
+
+rows = []
+for q in sqls:
+    for node in q.get("nodes", []):
+        if "Exchange" not in node["nodeName"]:
+            continue
+        mets = {m["name"]: m["value"] for m in node.get("metrics", [])}
+        size = parse_bytes(mets.get("shuffle bytes written", mets.get("data size", "0 B")))
+        recs = mets.get("records read", mets.get("number of output rows", "?"))
+        rows.append((size, q["id"], node["nodeId"], node["nodeName"], recs))
+
+rows.sort(reverse=True)
+tot = sum(r[0] for r in rows)
+print(f"\nTOTAL exchange shuffle-bytes-written: {tot/1e9:.2f} GB across {len(rows)} exchanges")
+print(f"{'MB':>9} {'sql':>4} {'node':>5}  records")
+for size, qid, nid, name, recs in rows[:30]:
+    print(f"{size/1e6:>9.1f} {qid:>4} {nid:>5}  {str(recs)[:40]}  {name}")
+
+# dump the plan around the biggest exchanges for context
+big = {(qid) for size, qid, nid, name, recs in rows[:8]}
+for q in sqls:
+    if q["id"] in big:
+        print("=" * 100)
+        print("SQL", q["id"], q["description"][:100])
+        for node in q.get("nodes", []):
+            mets = {m["name"]: m["value"] for m in node.get("metrics", [])}
+            sz = mets.get("shuffle bytes written") or mets.get("data size")
+            nrow = mets.get("number of output rows")
+            if sz or (nrow and parse_bytes(str(nrow)) == 0):
+                info = f" size={sz}" if sz else ""
+                print(f"  node {node['nodeId']:>4} {node['nodeName'][:60]:<62} rows={str(nrow)[:26]}{info}")

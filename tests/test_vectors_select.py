@@ -186,3 +186,59 @@ def test_ivf_topk_exact_when_probing_all_and_high_recall_partial(spark):
                           init_ids=[0, 1, 2, 3]).collect()
     }
     assert partial == exact  # separated clusters: 1 probe finds them all
+
+
+def test_ivf_probe_selection_distributed_matches_driver(spark):
+    """Round-4: probe selection is a vectorized Arrow pass over a
+    broadcast centroid matrix — a 10k-query batch runs with NO driver
+    loop and selects exactly the same probes as the driver-side scan."""
+    import random
+
+    import numpy as np
+
+    from distill_spark.functions.vectors import _probe_assignments, ivf_topk
+
+    rng = random.Random(7)
+    n_q = 10_000
+    qrows = [
+        (i, [float(rng.uniform(-1, 1)) for _ in range(16)]) for i in range(n_q)
+    ]
+    queries = spark.createDataFrame(qrows, "vec_id long, embedding array<float>")
+    cents = np.random.default_rng(5).standard_normal((8, 16))
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    dist = {
+        (r["qid"], r["cluster"])
+        for r in _probe_assignments(
+            queries, cn, 3, "vec_id", "embedding", "distributed"
+        ).collect()
+    }
+    drv = {
+        (r["qid"], r["cluster"])
+        for r in _probe_assignments(
+            queries, cn, 3, "vec_id", "embedding", "driver"
+        ).collect()
+    }
+    assert dist == drv
+    assert len(dist) == n_q * 3
+
+    # end-to-end parity on planted clusters: both impls, same results
+    crows = []
+    for i in range(200):
+        c = i % 4
+        vec = [0.0] * 16
+        vec[c * 4] = 1.0
+        crows.append((i, [float(x) for x in vec]))
+    corpus = spark.createDataFrame(crows, "vec_id long, embedding array<float>")
+    qs = corpus.filter(F.col("vec_id") < 8)
+    a = sorted(
+        tuple(r)
+        for r in ivf_topk(qs, corpus, k=3, n_probe=2, n_lists=4,
+                          init_ids=[0, 1, 2, 3], probe_impl="distributed").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in ivf_topk(qs, corpus, k=3, n_probe=2, n_lists=4,
+                          init_ids=[0, 1, 2, 3], probe_impl="driver").collect()
+    )
+    assert a == b

