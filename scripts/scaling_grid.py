@@ -1,0 +1,94 @@
+"""Same-night scaling grid: full dedupe() at 1M rows, fresh JVM per
+level, steady-state measurement (compile pass + cache clear + measured
+run). Appends one JSON line per level to /tmp/scaling_grid.jsonl and,
+when done, writes SCALING.json with BOTH N->4N pairs (1->4 and 2->8)
+from the same night's numbers.
+
+Usage: python scripts/scaling_grid.py [n_images] [levels...]
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+N_IMAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+LEVELS = [int(x) for x in sys.argv[2:]] or [1, 2, 4, 8]
+OUT = "/tmp/scaling_grid.jsonl"
+
+RUNNER = """
+import sys, time, json
+sys.path.insert(0, "/root/repo")
+from distill_spark.session import get_spark
+from distill_spark.config import DedupConfig
+from distill_spark.operators import dedupe
+
+cores = int(sys.argv[1]); n = int(sys.argv[2])
+spark = get_spark("scaling", cores=cores, shuffle_partitions=2*cores)
+images = spark.read.parquet(f"/tmp/distill_bench/images_n{n}_seed42.parquet")
+t0 = time.time()
+r = dedupe(images, DedupConfig()); r.assignments.count()
+cold = time.time() - t0
+r.unpersist()
+spark.catalog.clearCache()
+t0 = time.time()
+r = dedupe(images, DedupConfig()); cnt = r.assignments.count()
+dt = time.time() - t0
+print(json.dumps({"cores": cores, "n": n, "sec": round(dt, 2),
+                  "cold_sec": round(cold, 2),
+                  "images_per_sec": round(cnt / dt, 1)}))
+"""
+
+
+def run(cores: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", RUNNER, str(cores), str(N_IMAGES)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    from bench import ensure_images
+
+    ensure_images(None, N_IMAGES)
+    results = {}
+    with open(OUT, "w") as f:
+        f.write("")
+    for c in LEVELS:
+        r = run(c)
+        results[c] = r
+        with open(OUT, "a") as f:
+            f.write(json.dumps(r) + "\n")
+        print(json.dumps(r), flush=True)
+
+    def pair(a, b):
+        eff = round((results[a]["sec"] / results[b]["sec"]) / 4, 3)
+        return {
+            "n_images": N_IMAGES,
+            "small": results[a],
+            "big": results[b],
+            "scaling_efficiency": eff,
+            "criterion": "efficiency = (T_N / T_4N) / 4 >= 0.8",
+            "methodology": "steady-state run in a fresh JVM per level "
+                           "(one full-size compile pass, cache cleared "
+                           "before the measured run); cold first-run "
+                           "times in cold_sec; all levels measured the "
+                           "same night by scripts/scaling_grid.py",
+            "pass": eff >= 0.8,
+        }
+
+    if 1 in results and 4 in results:
+        result = pair(1, 4)
+        if 2 in results and 8 in results:
+            result["same_night_context"] = {"pair_2_to_8": pair(2, 8)}
+        with open("/root/repo/SCALING.json", "w") as f:
+            json.dump(result, f, indent=2)
+        print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
