@@ -88,6 +88,20 @@ class DedupConfig:
                                    # tokenize/shingle pass is faster (A/B:
                                    # 122s -> 75s at 100k rows, local[32])
 
+    # --- scale-adaptive planning (round 4) ---
+    # "wide": slim per-column signature caches + member semi-join before
+    #         the verify attaches + eager localCheckpoint of the
+    #         multi-consumer candidate frames. Right at high parallelism
+    #         (real clusters, local[16+]): the eager materialization
+    #         barriers amortize and the attach becomes O(members).
+    # "narrow": one fat signature cache, no semi-join, broadcast-reused
+    #         candidate frames (round-3 shape). Right at low parallelism,
+    #         where the extra serial job round-trips and materialization
+    #         passes cost more than they save (measured +18-26% wall at
+    #         local[4] for "wide").
+    # "auto": "wide" iff sparkContext.defaultParallelism >= 16.
+    scale_mode: str = "auto"
+
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:

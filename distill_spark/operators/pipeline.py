@@ -89,6 +89,14 @@ def candidate_edges(
     plus the raw caption-channel candidate set (for conflict banding).
     """
     need_caption_channels = {"minhash", "simhash"} & set(channels)
+    # scale-adaptive plan shape (config.scale_mode): "wide" amortizes
+    # eager materialization barriers + member semi-joins at high
+    # parallelism; "narrow" keeps the fewer-round-trip round-3 shape
+    # that wins at low parallelism (measured; see BENCH.md round 4)
+    wide = cfg.scale_mode == "wide" or (
+        cfg.scale_mode == "auto"
+        and meta.sparkSession.sparkContext.defaultParallelism >= 16
+    )
 
     if cfg.sig_impl == "numpy" and need_caption_channels:
         # one vectorized Arrow pass computes shingles + minhash + simhash
@@ -110,7 +118,7 @@ def candidate_edges(
         # of the ~16 downstream cache scans; measured 38.9 -> ~8 GB of
         # input traffic at 1M rows).
         sigs = sigs.persist()
-        if "simhash" in channels:
+        if wide and "simhash" in channels:
             # the first slim count materializes the fat cache as a side
             # effect (an InMemoryRelation stores whole rows per
             # partition on first scan), so no separate sigs.count()
@@ -130,7 +138,7 @@ def candidate_edges(
             simhash_sig.count()
             sigs.unpersist()
         else:
-            # without the simhash channel there are too few cache reads
+            # narrow mode, or no simhash channel: too few cache reads
             # for the split to pay for its materialization jobs — serve
             # consumers straight off the fat cache (round-3 shape)
             shingled = sigs.select(id_col, "shingles")
@@ -139,7 +147,11 @@ def candidate_edges(
                 if "minhash" in channels
                 else None
             )
-            simhash_sig = None
+            simhash_sig = (
+                sigs.filter(F.col("simhash").isNotNull()).select(id_col, "simhash")
+                if "simhash" in channels
+                else None
+            )
     else:
         from .shingle import tokens_col, shingles_col
 
@@ -167,7 +179,7 @@ def candidate_edges(
     cap_candidates: list[DataFrame] = []
     sig_cached: list[DataFrame] = []
     if cfg.sig_impl == "numpy" and need_caption_channels:
-        if "simhash" in channels:  # split caches own the data now
+        if wide and "simhash" in channels:  # split caches own the data
             sig_cached.extend(
                 df for df in (shingled, minhash_sig, simhash_sig)
                 if df is not None
@@ -213,11 +225,13 @@ def candidate_edges(
         # the job loudly instead of recomputing — acceptable for a
         # frame this small; cfg.cc_reliable_checkpoint covers the
         # long-lived CC state.
-        jac_cand = jac_cand.dropDuplicates(["a", "b"]).localCheckpoint(eager=True)
+        jac_cand = jac_cand.dropDuplicates(["a", "b"])
+        if wide:
+            jac_cand = jac_cand.localCheckpoint(eager=True)
         edge_parts.append(
             verify_jaccard(
                 jac_cand, shingled.select(id_col, "shingles"),
-                cfg.jaccard_threshold, "shingles", id_col,
+                cfg.jaccard_threshold, "shingles", id_col, semijoin=wide,
             )
         )
 
@@ -280,11 +294,13 @@ def candidate_edges(
             )
             # eagerly materialized for the same multi-consumer reuse
             # reasons as jac_cand above
-            cand = small_cand.unionByName(sub_cand).dropDuplicates(["a", "b"]) \
-                .localCheckpoint(eager=True)
+            cand = small_cand.unionByName(sub_cand).dropDuplicates(["a", "b"])
+            if wide:
+                cand = cand.localCheckpoint(eager=True)
             edge_parts.append(
                 verify_lcs(cand, meta.select(id_col, caption_col), cfg,
-                           caption_col, id_col, impl=cfg.lcs_impl)
+                           caption_col, id_col, impl=cfg.lcs_impl,
+                           semijoin=wide)
             )
 
     if not edge_parts:

@@ -25,22 +25,27 @@ from pyspark.sql import functions as F
 from ..config import DedupConfig, DEFAULT
 
 
-def _attach(pairs: DataFrame, feats: DataFrame, id_col: str, col: str) -> DataFrame:
+def _attach(pairs: DataFrame, feats: DataFrame, id_col: str, col: str,
+            semijoin: bool = True) -> DataFrame:
     """Join the per-id feature column onto both pair sides.
 
-    The feature table is first SEMI-JOINED to the candidate members
-    (distinct ids appearing in pairs): candidates touch only the dup
-    population, so the restricted table is a small fraction of the
-    corpus — at 1M rows this turned each attach side from a full-table
-    208 MB exchange into a members-only frame small enough for AQE to
-    broadcast, taking the per-pair feature payload out of the shuffle
-    entirely (measured: the two LCS-verify attach exchanges, 563 + 179
-    MB, disappeared). At any scale the attach cost becomes O(members),
-    not O(corpus)."""
-    members = (
-        pairs.select(F.explode(F.array("a", "b")).alias(id_col)).distinct()
-    )  # one explode, not a 2-branch union: pairs' lineage runs once here
-    feats = feats.join(members, id_col, "left_semi")
+    semijoin=True (the "wide" scale mode): the feature table is first
+    SEMI-JOINED to the candidate members (distinct ids appearing in
+    pairs) — candidates touch only the dup population, so the attach
+    cost becomes O(members), not O(corpus); at real-corpus dup
+    densities the restricted frame broadcasts and the per-pair feature
+    payload leaves the shuffle entirely. The caller must pass an
+    eagerly-materialized `pairs` frame (it is consumed three times).
+
+    semijoin=False (the "narrow" mode): plain two-sided attach; the
+    pair frame is consumed twice and AQE's broadcast reuse
+    materializes it once — fewer serial job round-trips, which wins at
+    low parallelism (see config.scale_mode)."""
+    if semijoin:
+        members = (
+            pairs.select(F.explode(F.array("a", "b")).alias(id_col)).distinct()
+        )  # one explode, not a 2-branch union: pairs' lineage runs once
+        feats = feats.join(members, id_col, "left_semi")
     fa = feats.select(F.col(id_col).alias("a"), F.col(col).alias(f"_{col}_a"))
     fb = feats.select(F.col(id_col).alias("b"), F.col(col).alias(f"_{col}_b"))
     return pairs.join(fa, "a").join(fb, "b")
@@ -59,10 +64,12 @@ def verify_jaccard(
     shingle_col: str = "shingles",
     id_col: str = "image_id",
     keep_score: bool = False,
+    semijoin: bool = True,
 ) -> DataFrame:
     """Keep (a, b) with exact shingle-set Jaccard >= threshold."""
     j = jaccard_col(F.col(f"_{shingle_col}_a"), F.col(f"_{shingle_col}_b"))
-    out = _attach(pairs, shingled, id_col, shingle_col).withColumn("jaccard", j)
+    out = _attach(pairs, shingled, id_col, shingle_col,
+                  semijoin=semijoin).withColumn("jaccard", j)
     out = out.filter(F.col("jaccard") >= threshold)
     return out.select("a", "b", "jaccard") if keep_score else out.select("a", "b")
 
@@ -123,6 +130,7 @@ def verify_lcs(
     caption_col: str = "caption",
     id_col: str = "image_id",
     impl: str = "exact",
+    semijoin: bool = True,
 ) -> DataFrame:
     """Keep (a, b) sharing an exact common substring of >= lcs_min_len chars.
 
@@ -145,7 +153,8 @@ def verify_lcs(
         return attached.filter(
             F.arrays_overlap(F.col("_winhash_a"), F.col("_winhash_b"))
         ).select("a", "b")
-    return verify_lcs_exact(pairs, captions, cfg, caption_col, id_col)
+    return verify_lcs_exact(pairs, captions, cfg, caption_col, id_col,
+                            semijoin=semijoin)
 
 
 def verify_lcs_exact(
@@ -154,10 +163,11 @@ def verify_lcs_exact(
     cfg: DedupConfig = DEFAULT,
     caption_col: str = "caption",
     id_col: str = "image_id",
+    semijoin: bool = True,
 ) -> DataFrame:
     """Exact-string variant (Arrow-batched pandas; O(|a|+|b|) per pair)."""
     cap = captions.select(id_col, F.col(caption_col).alias("cap"))
-    attached = _attach(pairs, cap, id_col, "cap")
+    attached = _attach(pairs, cap, id_col, "cap", semijoin=semijoin)
     min_len, lower = cfg.lcs_min_len, cfg.lowercase
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
