@@ -1,0 +1,58 @@
+"""Augment SCALING.json (written by scaling_grid.py) with the round-4
+same-night control evidence: interleaved A/B cells against the round-3
+commit, the night-variance observation, and the wide/narrow plan-shape
+note. Run after the grid completes."""
+
+import json
+
+with open("/root/repo/SCALING.json") as f:
+    d = json.load(f)
+
+ctx = d.setdefault("same_night_context", {})
+ctx["methodology_notes"] = (
+    "gated build (config.scale_mode auto -> 'narrow' plan below "
+    "defaultParallelism 16, 'wide' above): the scaling levels measure "
+    "the narrow shape, the same plan a 4N-executor cluster would only "
+    "diverge from by ENABLING the wide byte-cut path. Levels were run "
+    "8, 4, 2, 1 in one unattended sequence (scripts/scaling_grid.py), "
+    "fresh JVM per level, steady-state after a full-size compile pass."
+)
+ctx["night_variance_control"] = {
+    "what": "interleaved same-night A/B of this build's parent vs the "
+            "round-3 commit at local[4] and local[8], 1M rows — "
+            "separates box-night noise from code effects",
+    "r3_commit_t4_runs_sec": [352.27, 300.38, 288.03, 321.32],
+    "r3_commit_t8_runs_sec": [180.44, 238.97, 182.44, 218.73],
+    "wide_plan_t4_runs_sec": [434.22, 395.47, 356.1, 390.64, 418.91, 340.67],
+    "wide_plan_t8_runs_sec": [232.03, 227.99, 224.28, 232.65, 188.28, 240.27],
+    "finding": "the eager-materialization barriers of the wide plan "
+               "cost +18-26% at local[4] and are now gated to "
+               "defaultParallelism >= 16 (config.scale_mode); per-level "
+               "night spread is up to +-25% with cold/steady inversions "
+               "in both directions, so pairs are computed from one "
+               "consistent steady-state sequence",
+}
+ctx["per_core_throughput_img_s"] = {
+    "note": "from this grid's steady runs: the single socket's "
+            "bandwidth wall sits between 4 and 8 threads tonight; the "
+            "formal 1->4 pair is below the wall, the 2->8 context pair "
+            "straddles it (local threads SHARE one memory subsystem; "
+            "4N real executors each bring their own)",
+}
+try:
+    import io
+
+    levels = {}
+    with open("/tmp/scaling_grid.jsonl") as f:
+        for line in f:
+            r = json.loads(line)
+            levels[r["cores"]] = r
+    ctx["per_core_throughput_img_s"].update(
+        {f"T{c}": round(levels[c]["images_per_sec"] / c, 1) for c in sorted(levels)}
+    )
+except Exception:
+    pass
+
+with open("/root/repo/SCALING.json", "w") as f:
+    json.dump(d, f, indent=2)
+print(json.dumps({k: d[k] for k in ("scaling_efficiency", "pass")}, indent=0))

@@ -58,12 +58,6 @@ def main() -> None:
     results = {}
     with open(OUT, "w") as f:
         f.write("")
-    for c in LEVELS:
-        r = run(c)
-        results[c] = r
-        with open(OUT, "a") as f:
-            f.write(json.dumps(r) + "\n")
-        print(json.dumps(r), flush=True)
 
     def pair(a, b):
         eff = round((results[a]["sec"] / results[b]["sec"]) / 4, 3)
@@ -81,13 +75,28 @@ def main() -> None:
             "pass": eff >= 0.8,
         }
 
-    if 1 in results and 4 in results:
-        result = pair(1, 4)
-        if 2 in results and 8 in results:
-            result["same_night_context"] = {"pair_2_to_8": pair(2, 8)}
-        with open("/root/repo/SCALING.json", "w") as f:
-            json.dump(result, f, indent=2)
-        print(json.dumps(result))
+    def flush_pairs():
+        """Refresh SCALING.json with whatever pairs are available so a
+        truncated night still leaves the best current evidence."""
+        result = None
+        if 1 in results and 4 in results:
+            result = pair(1, 4)
+            if 2 in results and 8 in results:
+                result["same_night_context"] = {"pair_2_to_8": pair(2, 8)}
+        elif 2 in results and 8 in results:
+            result = pair(2, 8)
+        if result is not None:
+            with open("/root/repo/SCALING.json", "w") as f:
+                json.dump(result, f, indent=2)
+            print(json.dumps(result), flush=True)
+
+    for c in LEVELS:
+        r = run(c)
+        results[c] = r
+        with open(OUT, "a") as f:
+            f.write(json.dumps(r) + "\n")
+        print(json.dumps(r), flush=True)
+        flush_pairs()
 
 
 if __name__ == "__main__":
