@@ -74,12 +74,21 @@ def main() -> None:
 
     # warm the JVM/codegen on a small slice so the headline measures steady
     # state, not first-JIT (the 128-agg MinHash stage pays ~10s once)
+    # A/B knobs for the plan-shape experiments (scripts/bench_protocol_ab.py):
+    # the official run leaves these unset -> DedupConfig defaults.
+    cfg_kw = {}
+    if os.environ.get("DISTILL_SCALE_MODE"):
+        cfg_kw["scale_mode"] = os.environ["DISTILL_SCALE_MODE"]
+    if os.environ.get("DISTILL_JACCARD_VERIFY"):
+        cfg_kw["jaccard_verify_impl"] = os.environ["DISTILL_JACCARD_VERIFY"]
+    if os.environ.get("DISTILL_LANE_BITS"):
+        cfg_kw["minhash_lane_bits"] = int(os.environ["DISTILL_LANE_BITS"])
+    cfg = DedupConfig(**cfg_kw)
+
     warm = images.limit(2000).cache()
     warm.count()
-    dedupe(warm, DedupConfig()).assignments.count()
+    dedupe(warm, cfg).assignments.count()
     warm.unpersist()
-
-    cfg = DedupConfig()
     timed(
         "dedupe_full",
         lambda: dedupe(images, cfg).assignments.count(),

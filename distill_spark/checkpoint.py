@@ -267,6 +267,9 @@ def dedupe_checkpointed(
                 lambda: verify_jaccard(
                     jac_cand, sigs.select(id_col, "shingles"),
                     cfg.jaccard_threshold, "shingles", id_col,
+                    # jac_cand is parquet-backed (run_stage), so the
+                    # triple-consume semijoin contract holds here
+                    semijoin=True,
                 ),
                 config_sig=csig,
                 deps=["signatures", "jaccard_candidates"],

@@ -32,6 +32,18 @@ class DedupConfig:
     num_perm: int = 128
     bands: int = 32                # num_perm == bands * rows_per_band
     minhash_seed: int = 42
+    minhash_lane_bits: int = 32    # stored lane width: 32 (default) keeps
+                                   # the low 32 bits of each (a*x+b) mod P
+                                   # lane — banding only tests lane
+                                   # EQUALITY, and folding mod 2^32 can
+                                   # only merge buckets (adds candidates
+                                   # the exact verify removes), so the
+                                   # S-curve/recall is unaffected while
+                                   # the signature column through the
+                                   # Arrow boundary + persist halves
+                                   # (128 x 4 B vs 128 x 8 B). 64 = full
+                                   # lanes (pinned by MemoryStore: its
+                                   # sigs persist across upgrades)
     jaccard_threshold: float = 0.70   # dedup edge (verify stage, exact)
     conflict_jaccard: float = 0.40    # conflict band lower bound
 
@@ -81,6 +93,15 @@ class DedupConfig:
                                    # Collision risk N^2/2^65 false merges
                                    # (~3e-8 at 1M rows) — the same budget the
                                    # engine already accepts for hashed shingles
+    jaccard_verify_impl: str = "attach"  # "attach": join shingle arrays
+                                   # onto both pair sides (round-3 shape);
+                                   # "cocount": |A∩B| co-counted from the
+                                   # exploded member (id, shingle) table,
+                                   # |A∪B| from per-doc sizes — verify
+                                   # joins ship 8 B rows, never arrays
+                                   # (verify.verify_jaccard_cocount).
+                                   # Identical verified output (both are
+                                   # exact integer-ratio Jaccard)
     simhash_preverify: bool = True # exact Hamming filter before Jaccard verify
     persist_shingles: bool = False # caching the shared shingle stage forces
                                    # materialization + blocks per-consumer

@@ -41,6 +41,7 @@ phantom self-match pairs)."""
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -104,7 +105,11 @@ class MemoryStore:
         dir-overwrite layout cannot provide (its readers race the
         rename). The Iceberg/Delta seam, sandbox-feasible."""
         self.spark, self.path = spark, path
-        self.cfg = cfg or DedupConfig()
+        # persisted-signature stores pin FULL 64-bit minhash lanes:
+        # their sig columns are written as array<bigint> and must stay
+        # band-joinable with rows persisted before the 32-bit default
+        from dataclasses import replace as _replace
+        self.cfg = _replace(cfg or DedupConfig(), minhash_lane_bits=64)
         self.dup_jaccard, self.conflict_jaccard = dup_jaccard, conflict_jaccard
         self.n_buckets = n_buckets
         self.embedding_provider = embedding_provider
@@ -116,6 +121,12 @@ class MemoryStore:
             self._table = VersionedTable(
                 spark, self._data_path(), partition_by="bucket"
             )
+            # opening a pre-existing dirs-layout store as "versioned"
+            # must not silently show an empty store (the manifest lists
+            # no files): migrate the legacy rows as version 1 — the same
+            # silent-data-hiding class the legacy flat-append migration
+            # in _append() guards against (round-4 advice)
+            self._migrate_legacy_to_versioned()
         else:
             self._table = None
             recover_dir(self._data_path())  # heal a crash from a prior run
@@ -123,16 +134,88 @@ class MemoryStore:
         # sqlite.go:724-736): called synchronously, registration order
         self._handlers: list = []
 
+    # bound on the id list any single lifecycle event carries: events
+    # whose subjects come from a DataFrame (store/decay) emit count +
+    # a bounded sample, never an unbounded driver-side collect — a
+    # 10^9-row ingest with a handler attached must not OOM the driver
+    EVENT_IDS_MAX = 10_000
+
     def on_lifecycle_event(self, handler) -> None:
+        """Register a handler(event: dict). Events: {"type", "ids",
+        "count", ...}. For batch-derived events (store/decay) `ids` is
+        a sample capped at EVENT_IDS_MAX (`ids_truncated`=True when the
+        batch was larger; `count` is always exact) — reference analog
+        OnLifecycleEvent (/root/reference/pkg/memory/sqlite.go:724-736)
+        passes full id lists, which does not survive 10^9-row batches."""
         self._handlers.append(handler)
 
     def _emit(self, event_type: str, ids: list[str], detail: dict | None = None) -> None:
+        ev = {"type": event_type, "ids": ids, "count": len(ids),
+              **(detail or {})}
         for h in self._handlers:
-            h({"type": event_type, "ids": ids, **(detail or {})})
+            h(ev)
+
+    def _emit_df(self, event_type: str, id_df: DataFrame,
+                 detail: dict | None = None) -> None:
+        """Emit an event whose subject ids live in a DataFrame: exact
+        count, driver-side ids bounded at EVENT_IDS_MAX."""
+        n = id_df.count()
+        sample = [r[0] for r in id_df.limit(self.EVENT_IDS_MAX).collect()]
+        ev = {"type": event_type, "ids": sample, "count": n,
+              "ids_truncated": n > len(sample), **(detail or {})}
+        for h in self._handlers:
+            h(ev)
 
     # ------------------------------------------------------------- storage
     def _data_path(self) -> str:
         return os.path.join(self.path, "memories")
+
+    def _legacy_parquet_files(self) -> list[str]:
+        """Parquet files under the data path that are NOT part of the
+        versioned table's own layout (its files live under data/, its
+        manifests under _v/) — i.e. a pre-existing dirs-layout store."""
+        p = self._data_path()
+        found: list[str] = []
+        if not os.path.isdir(p):
+            return found
+        for root, dirs, files in os.walk(p):
+            if root == os.path.normpath(p):
+                dirs[:] = [d for d in dirs
+                           if d != "data" and not d.startswith((".", "_"))]
+            else:
+                dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            found.extend(os.path.join(root, f) for f in files
+                         if f.endswith(".parquet"))
+        return found
+
+    def _migrate_legacy_to_versioned(self) -> None:
+        legacy = self._legacy_parquet_files()
+        if not legacy:
+            return
+        if self._table.current_version() != 0:
+            # both layouts populated: a half-done migration or mixed
+            # backend use — refuse loudly rather than pick one silently
+            raise RuntimeError(
+                f"store at {self.path} has BOTH a versioned manifest and "
+                f"{len(legacy)} non-versioned parquet files (e.g. "
+                f"{legacy[0]}); resolve manually (vacuum + remove legacy "
+                "files, or reopen with backend='dirs')"
+            )
+        # read via the dirs logic (recover + mergeSchema + legacy-column
+        # derivation), publish as version 1, then drop the legacy files
+        table, self._table = self._table, None
+        try:
+            rows = self._raw()
+        finally:
+            self._table = table
+        self._table.publish(rows)
+        for f in legacy:
+            os.remove(f)
+        p = self._data_path()
+        for name in os.listdir(p):  # now-empty bucket=N/ dirs
+            full = os.path.join(p, name)
+            if name.startswith("bucket=") and os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
 
     def _bucket_expr(self) -> F.Column:
         return F.pmod(F.xxhash64(F.col("id")), F.lit(self.n_buckets)).cast("int")
@@ -416,7 +499,7 @@ class MemoryStore:
             "new_id string, existing_id string, jaccard double",
         )
         if self._handlers:
-            self._emit("store", [r["id"] for r in inserted.select("id").collect()])
+            self._emit_df("store", inserted.select("id"))
             self._emit("duplicate", sorted(all_rejected))
         result = StoreResult(
             stored=inserted,
@@ -593,7 +676,7 @@ class MemoryStore:
             )
             self._replace_buckets(kept, buckets)
         if self._handlers:
-            self._emit("decay", [r["id"] for r in events.select("id").collect()])
+            self._emit_df("decay", events.select("id"))
         return events.drop("bucket")
 
     def stats(self) -> DataFrame:

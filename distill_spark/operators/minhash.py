@@ -57,8 +57,21 @@ def with_minhash(
         for i in range(cfg.num_perm)
     ]
     sig = exploded.groupBy(id_col).agg(*aggs)
+    # min is aggregated in the full 64-bit domain; the STORED lane is
+    # then truncated per cfg.minhash_lane_bits to the low 32 bits with
+    # an explicit signed wrap (ANSI-safe; bit-identical to the numpy
+    # uint32-view in signatures.py). Banding tests lane equality only,
+    # so truncation can only merge buckets (verify removes the extras).
+    def lane(c):
+        if cfg.minhash_lane_bits != 32:
+            return c
+        low = c.bitwiseAND(F.lit(0xFFFFFFFF))
+        return (
+            F.when(low >= F.lit(1 << 31), low - F.lit(1 << 32)).otherwise(low)
+        ).cast("int")
     return sig.select(
-        id_col, F.array(*[F.col(f"mh_{i}") for i in range(cfg.num_perm)]).alias(out)
+        id_col,
+        F.array(*[lane(F.col(f"mh_{i}")) for i in range(cfg.num_perm)]).alias(out),
     )
 
 

@@ -47,7 +47,12 @@ from .lsh import pairs_from_buckets, pairs_and_overflow
 from .simhash import with_simhash
 from .hamming import hamming_candidate_pairs, verify_hamming, block_buckets
 from .winnow import with_fingerprints, refine_oversized
-from .verify import verify_jaccard, verify_lcs, conflict_band
+from .verify import (
+    verify_jaccard,
+    verify_jaccard_cocount,
+    verify_lcs,
+    conflict_band,
+)
 from .components import connected_components
 from .select import representatives, cluster_stats
 
@@ -226,14 +231,23 @@ def candidate_edges(
         # frame this small; cfg.cc_reliable_checkpoint covers the
         # long-lived CC state.
         jac_cand = jac_cand.dropDuplicates(["a", "b"])
-        if wide:
+        cocount = cfg.jaccard_verify_impl == "cocount"
+        if wide or cocount:  # cocount consumes pairs 4x — must be eager
             jac_cand = jac_cand.localCheckpoint(eager=True)
-        edge_parts.append(
-            verify_jaccard(
-                jac_cand, shingled.select(id_col, "shingles"),
-                cfg.jaccard_threshold, "shingles", id_col, semijoin=wide,
+        if cocount:
+            edge_parts.append(
+                verify_jaccard_cocount(
+                    jac_cand, shingled.select(id_col, "shingles"),
+                    cfg.jaccard_threshold, "shingles", id_col,
+                )
             )
-        )
+        else:
+            edge_parts.append(
+                verify_jaccard(
+                    jac_cand, shingled.select(id_col, "shingles"),
+                    cfg.jaccard_threshold, "shingles", id_col, semijoin=wide,
+                )
+            )
 
     if "phash" in channels and phash_col is not None:
         ph = meta.select(id_col, phash_col)
@@ -266,14 +280,18 @@ def candidate_edges(
                 refined, ["fingerprint", "subfp"], id_col, cfg,
                 cap=cfg.max_fp_bucket_size, oversize="star",
             )
+            # sub_pairs' only evidence is full-L-window polynomial-hash
+            # (mod 2^64) equality — weaker against structured text than
+            # the xxhash budget the rest of the engine cites — so route
+            # them through the exact caption verify with the unknowns
+            # (round-4 advice; the non-ctx path exact-verifies them too)
+            unknown = unknown.unionByName(sub_pairs).dropDuplicates(["a", "b"])
             unknown = unknown.localCheckpoint(eager=True)  # see jac_cand
             fallback_edges = verify_lcs(
                 unknown, meta.select(id_col, caption_col), cfg, caption_col,
                 id_col, impl="exact",
             )
-            edge_parts.append(
-                verified.unionByName(sub_pairs).unionByName(fallback_edges)
-            )
+            edge_parts.append(verified.unionByName(fallback_edges))
         else:
             fp = with_fingerprints(meta.select(id_col, caption_col), caption_col,
                                    "fp", cfg, impl=cfg.winnow_impl)

@@ -139,11 +139,15 @@ def with_signatures(
     want_mh = "minhash" in parts
     want_sim = "simhash" in parts
 
+    lane32 = cfg.minhash_lane_bits == 32
     fields = [T.StructField(id_col, df.schema[id_col].dataType)]
     if want_sh:
         fields.append(T.StructField("shingles", T.ArrayType(T.LongType())))
     if want_mh:
-        fields.append(T.StructField("minhash", T.ArrayType(T.LongType())))
+        fields.append(T.StructField(
+            "minhash",
+            T.ArrayType(T.IntegerType() if lane32 else T.LongType()),
+        ))
     if want_sim:
         fields.append(T.StructField("simhash", T.LongType()))
     schema = T.StructType(fields)
@@ -290,9 +294,16 @@ def with_signatures(
                     bounds = np.zeros(len(grp), dtype=np.int64)
                     bounds[1:] = np.cumsum(seg_counts[grp])[:-1]
                     mins = np.minimum.reduceat(vals, bounds, axis=1)
-                    mins64 = mins.astype(np.int64)
+                    # min is taken in the FULL 64-bit domain first; only
+                    # the stored lane is truncated (lane32: low 32 bits,
+                    # signed reinterpret — matches the JVM cast-to-int
+                    # wrap in minhash.with_minhash)
+                    if lane32:
+                        out_lanes = mins.astype(np.uint32).view(np.int32)
+                    else:
+                        out_lanes = mins.astype(np.int64)
                     for col, i in enumerate(grp):
-                        mhs[int(i)] = mins64[:, col].tolist()
+                        mhs[int(i)] = out_lanes[:, col].tolist()
                     gi = gj
                 out["minhash"] = mhs
 

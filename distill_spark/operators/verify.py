@@ -26,7 +26,7 @@ from ..config import DedupConfig, DEFAULT
 
 
 def _attach(pairs: DataFrame, feats: DataFrame, id_col: str, col: str,
-            semijoin: bool = True) -> DataFrame:
+            semijoin: bool = False) -> DataFrame:
     """Join the per-id feature column onto both pair sides.
 
     semijoin=True (the "wide" scale mode): the feature table is first
@@ -34,11 +34,15 @@ def _attach(pairs: DataFrame, feats: DataFrame, id_col: str, col: str,
     pairs) — candidates touch only the dup population, so the attach
     cost becomes O(members), not O(corpus); at real-corpus dup
     densities the restricted frame broadcasts and the per-pair feature
-    payload leaves the shuffle entirely. The caller must pass an
-    eagerly-materialized `pairs` frame (it is consumed three times).
+    payload leaves the shuffle entirely. The caller MUST pass an
+    eagerly-materialized (localCheckpoint / parquet-backed) `pairs`
+    frame — it is consumed three times, so a lazy frame would re-run
+    its whole candidate DAG 3x. That contract is why the PUBLIC
+    default is False (round-4 advice): only the wide pipeline path,
+    which materializes pairs first, opts in.
 
-    semijoin=False (the "narrow" mode): plain two-sided attach; the
-    pair frame is consumed twice and AQE's broadcast reuse
+    semijoin=False (the default / "narrow" mode): plain two-sided
+    attach; the pair frame is consumed twice and AQE's broadcast reuse
     materializes it once — fewer serial job round-trips, which wins at
     low parallelism (see config.scale_mode)."""
     if semijoin:
@@ -64,14 +68,75 @@ def verify_jaccard(
     shingle_col: str = "shingles",
     id_col: str = "image_id",
     keep_score: bool = False,
-    semijoin: bool = True,
+    semijoin: bool = False,
 ) -> DataFrame:
-    """Keep (a, b) with exact shingle-set Jaccard >= threshold."""
+    """Keep (a, b) with exact shingle-set Jaccard >= threshold.
+
+    semijoin=True requires `pairs` to be eagerly materialized (see
+    _attach) — opt in only when you have checkpointed/persisted it."""
     j = jaccard_col(F.col(f"_{shingle_col}_a"), F.col(f"_{shingle_col}_b"))
     out = _attach(pairs, shingled, id_col, shingle_col,
                   semijoin=semijoin).withColumn("jaccard", j)
     out = out.filter(F.col("jaccard") >= threshold)
     return out.select("a", "b", "jaccard") if keep_score else out.select("a", "b")
+
+
+def verify_jaccard_cocount(
+    pairs: DataFrame,
+    shingled: DataFrame,
+    threshold: float,
+    shingle_col: str = "shingles",
+    id_col: str = "image_id",
+    keep_score: bool = False,
+) -> DataFrame:
+    """Exact Jaccard verify WITHOUT attaching shingle arrays to pairs
+    (round-4 advice — the shuffled-signature-bytes lever): |A∩B| is a
+    CO-COUNT over the exploded (id, shingle) table restricted to
+    candidate members, and |A∪B| = |A| + |B| − |A∩B| from per-doc
+    sizes — every verify join ships 8-byte keys + counts, never a
+    1–2 KB shingle array per pair side.
+
+    Formulation: pairs ⋈ a-side membership (one row per shingle of a),
+    then an equi-join on (b, shingle) against the membership table
+    counts exactly the intersection. This stays linear in
+    Σ_pairs |A| — the alternative membership self-join on the shingle
+    key explodes quadratically on hot shingles (boilerplate n-grams),
+    which is the same skew class the LSH bucket caps exist to kill.
+
+    Scores are EXACTLY the integer ratio |A∩B|/|A∪B| — bit-identical
+    to jaccard_col's array_intersect/array_union on the same sets
+    (both sets are distinct by construction).
+
+    CONTRACT: `pairs` is consumed four times — pass a materialized
+    (localCheckpoint / parquet-backed) frame.
+    """
+    members = (
+        pairs.select(F.explode(F.array("a", "b")).alias(id_col)).distinct()
+    )
+    feats = shingled.join(members, id_col, "left_semi")
+    sizes = feats.select(id_col, F.size(F.col(shingle_col)).alias("_sz"))
+    mship = feats.select(id_col, F.explode(shingle_col).alias("_sh"))
+    pa = pairs.join(mship.select(F.col(id_col).alias("a"), "_sh"), "a")
+    inter = (
+        pa.join(mship.select(F.col(id_col).alias("b"), "_sh"), ["b", "_sh"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    out = (
+        pairs
+        .join(sizes.select(F.col(id_col).alias("a"), F.col("_sz").alias("_sa")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("_sz").alias("_sb")), "b")
+        .join(inter, ["a", "b"], "left")
+        .withColumn("_i", F.coalesce(F.col("_i"), F.lit(0)))
+        .withColumn("_u", F.col("_sa") + F.col("_sb") - F.col("_i"))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("_u") > 0, F.col("_i") / F.col("_u")).otherwise(F.lit(1.0)),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return (out.select("a", "b", "jaccard") if keep_score
+            else out.select("a", "b"))
 
 
 def conflict_band(
@@ -130,7 +195,7 @@ def verify_lcs(
     caption_col: str = "caption",
     id_col: str = "image_id",
     impl: str = "exact",
-    semijoin: bool = True,
+    semijoin: bool = False,
 ) -> DataFrame:
     """Keep (a, b) sharing an exact common substring of >= lcs_min_len chars.
 
@@ -163,7 +228,7 @@ def verify_lcs_exact(
     cfg: DedupConfig = DEFAULT,
     caption_col: str = "caption",
     id_col: str = "image_id",
-    semijoin: bool = True,
+    semijoin: bool = False,
 ) -> DataFrame:
     """Exact-string variant (Arrow-batched pandas; O(|a|+|b|) per pair)."""
     cap = captions.select(id_col, F.col(caption_col).alias("cap"))

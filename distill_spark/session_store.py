@@ -233,7 +233,9 @@ class SessionStore:
         TODO <1K entries; the collect is loudly guarded). Without a
         provider the LSH shingle probe is the network-free default."""
         self.spark, self.path = spark, path
-        self.cfg = cfg or DedupConfig()
+        # 64-bit lanes: persisted array<bigint> sigs (see MemoryStore)
+        from dataclasses import replace as _replace
+        self.cfg = _replace(cfg or DedupConfig(), minhash_lane_bits=64)
         self.defaults = (default_max_tokens, default_dedup_jaccard,
                          default_preserve_recent)
         self.embedding_provider = embedding_provider

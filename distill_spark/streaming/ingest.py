@@ -55,7 +55,10 @@ class DedupeState:
     """Accumulated (id, shingles, minhash) signature state + assignment log."""
 
     def __init__(self, spark: SparkSession, path: str, cfg: DedupConfig = DEFAULT):
-        self.spark, self.path, self.cfg = spark, path, cfg
+        # 64-bit lanes: persisted array<bigint> sigs (see MemoryStore)
+        from dataclasses import replace as _replace
+        self.spark, self.path = spark, path
+        self.cfg = _replace(cfg, minhash_lane_bits=64)
         os.makedirs(path, exist_ok=True)
 
     def _p(self, name: str) -> str:

@@ -107,33 +107,39 @@ class VersionedTable:
         """Write df's rows as new immutable files under data/; returns
         the manifest entries {relpath: {"part": value-or-None}}."""
         tmp = os.path.join(self.path, "_stage_" + uuid.uuid4().hex[:8])
-        w = df.write.mode("overwrite")
-        if self.partition_by:
-            w = w.partitionBy(self.partition_by)
-        w.parquet(tmp)
-        entries: dict[str, dict] = {}
-        for root, dirs, names in os.walk(tmp):
-            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
-            for name in names:
-                if not name.endswith(".parquet"):
-                    continue
-                rel_dir = os.path.relpath(root, tmp)
-                part = None
-                if rel_dir != "." and "=" in rel_dir:
-                    part = rel_dir.split("=", 1)[1]
-                new_name = f"f-{uuid.uuid4().hex[:12]}.parquet"
-                dst_dir = (
-                    self._ddir() if rel_dir == "."
-                    else os.path.join(self._ddir(), rel_dir)
-                )
-                os.makedirs(dst_dir, exist_ok=True)
-                os.replace(os.path.join(root, name),
-                           os.path.join(dst_dir, new_name))
-                rel = (new_name if rel_dir == "."
-                       else os.path.join(rel_dir, new_name))
-                entries[rel] = {"part": part}
-        shutil.rmtree(tmp, ignore_errors=True)
-        return entries
+        try:
+            w = df.write.mode("overwrite")
+            if self.partition_by:
+                w = w.partitionBy(self.partition_by)
+            w.parquet(tmp)
+            entries: dict[str, dict] = {}
+            for root, dirs, names in os.walk(tmp):
+                dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+                for name in names:
+                    if not name.endswith(".parquet"):
+                        continue
+                    rel_dir = os.path.relpath(root, tmp)
+                    part = None
+                    if rel_dir != "." and "=" in rel_dir:
+                        part = rel_dir.split("=", 1)[1]
+                    new_name = f"f-{uuid.uuid4().hex[:12]}.parquet"
+                    dst_dir = (
+                        self._ddir() if rel_dir == "."
+                        else os.path.join(self._ddir(), rel_dir)
+                    )
+                    os.makedirs(dst_dir, exist_ok=True)
+                    os.replace(os.path.join(root, name),
+                               os.path.join(dst_dir, new_name))
+                    rel = (new_name if rel_dir == "."
+                           else os.path.join(rel_dir, new_name))
+                    entries[rel] = {"part": part}
+            return entries
+        finally:
+            # a failed write would otherwise leave the _stage_* dir under
+            # the table root forever (vacuum only walks data/); files
+            # already moved into data/ are orphans a failed commit leaves
+            # unreferenced, which vacuum() reaps
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def _commit(self, files: dict[str, dict], expected_version: int) -> int:
         if self.current_version() != expected_version:
@@ -202,6 +208,12 @@ class VersionedTable:
                 v = int(name.split(".")[0])
                 if v not in keep_versions:
                     os.remove(os.path.join(self._vdir(), name))
+        # stage dirs from writers that crashed between write and cleanup
+        for name in os.listdir(self.path):
+            if name.startswith("_stage_"):
+                shutil.rmtree(os.path.join(self.path, name),
+                              ignore_errors=True)
+                deleted.append(name)
         # unreferenced data files (includes orphans from crashed commits)
         for root, dirs, names in os.walk(self._ddir()):
             for name in names:

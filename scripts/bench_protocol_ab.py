@@ -1,0 +1,79 @@
+"""Interleaved A/B of dedup plan shapes under the EXACT bench.py
+protocol (fresh JVM per run, local[32], sf0.1, same warmup) — the
+instrument the driver grades with.
+
+Round-5 motivation: BENCH_r04 showed dedupe_full 54.6 s where the
+builder's in-session A/B claimed 35.8 s; the judge asked for >= 3
+interleaved same-night samples per variant under the bench.py protocol
+to settle whether the round-4 "wide" plan shape wins or loses on this
+instrument (VERDICT.md round 4, "Next round" #1/#7).
+
+Usage: python scripts/bench_protocol_ab.py [reps] [variant,variant,...]
+A variant is "+"-joined knobs: a scale mode ("narrow"/"wide"/"auto"),
+optionally a verify impl ("attach"/"cocount"), optionally a lane width
+("lane32"/"lane64") — e.g. "narrow+cocount+lane32". "default" = all
+knobs unset (exactly what the driver runs). Appends one JSON line per
+run to /tmp/bench_ab.jsonl and prints a min/median summary table.
+"""
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = "/tmp/bench_ab.jsonl"
+
+reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+variants = (sys.argv[2].split(",") if len(sys.argv) > 2
+            else ["narrow", "wide"])
+
+
+def one_run(variant: str) -> dict:
+    env = dict(os.environ)
+    for k in ("DISTILL_SCALE_MODE", "DISTILL_JACCARD_VERIFY",
+              "DISTILL_LANE_BITS"):
+        env.pop(k, None)
+    for knob in variant.split("+"):
+        if knob in ("narrow", "wide", "auto"):
+            env["DISTILL_SCALE_MODE"] = knob
+        elif knob in ("attach", "cocount"):
+            env["DISTILL_JACCARD_VERIFY"] = knob
+        elif knob in ("lane32", "lane64"):
+            env["DISTILL_LANE_BITS"] = knob[4:]
+        elif knob != "default":
+            raise SystemExit(f"unknown knob {knob!r} in variant {variant!r}")
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=1800,
+    )
+    line = [l for l in p.stdout.strip().splitlines()
+            if l.startswith("{")][-1]
+    rec = json.loads(line)
+    rec["variant"] = variant
+    return rec
+
+
+def main() -> None:
+    runs: list[dict] = []
+    with open(OUT, "a") as f:
+        for rep in range(reps):
+            for v in variants:  # interleave: n,w,n,w,... not n,n,n,w,w,w
+                rec = one_run(v)
+                rec["rep"] = rep
+                runs.append(rec)
+                f.write(json.dumps(rec) + "\n")
+                f.flush()
+                print(f"rep{rep} {v}: dedupe_full={rec['queries']['dedupe_full']}"
+                      f" thr={rec['throughput_images_per_sec']}", flush=True)
+
+    print("\n== summary (dedupe_full sec) ==")
+    for v in variants:
+        xs = [r["queries"]["dedupe_full"] for r in runs if r["variant"] == v]
+        print(f"{v}: n={len(xs)} min={min(xs):.2f} "
+              f"median={statistics.median(xs):.2f} all={sorted(xs)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -160,12 +160,12 @@ def test_signature_batch_parity(spark):
         mh = None
         if len(sh):
             x32 = sh & M32
-            mh = (
-                ((A[:, None] * x32[None, :] + Bb[:, None]) % P)
-                .min(axis=1)
-                .astype(np.int64)
-                .tolist()
-            )
+            mins = ((A[:, None] * x32[None, :] + Bb[:, None]) % P).min(axis=1)
+            # min in the full 64-bit domain, THEN lane truncation
+            if cfg.minhash_lane_bits == 32:
+                mh = mins.astype(np.uint32).view(np.int32).tolist()
+            else:
+                mh = mins.astype(np.int64).tolist()
         sim = None
         if len(th):
             bit_idx = np.arange(64, dtype=np.uint64)
