@@ -82,6 +82,12 @@ class CheckpointStore:
     ledger: dict[str, dict] = field(default_factory=dict)
     hits: list[str] = field(default_factory=list)     # stages loaded from disk
     computed: list[str] = field(default_factory=list) # stages computed this run
+    backend: str = "dirs"  # "versioned": each stage is a VersionedTable
+                           # (snapshot-isolated — a reader's plan over a
+                           # stage survives a concurrent re-run's publish;
+                           # the dir-overwrite layout's readers race the
+                           # os.replace). Legacy dir-layout stages are
+                           # migrated as version 1 on first touch.
 
     def __post_init__(self) -> None:
         os.makedirs(self.base_path, exist_ok=True)
@@ -97,6 +103,27 @@ class CheckpointStore:
 
     def _stage_path(self, stage: str) -> str:
         return os.path.join(self.base_path, stage)
+
+    def _stage_table(self, stage: str):
+        """VersionedTable for a stage (backend="versioned"), migrating a
+        pre-existing dir-layout stage's parquet as version 1 so resumes
+        written by the old backend stay cache hits."""
+        from .tableio import VersionedTable, foreign_parquet_files
+
+        path = self._stage_path(stage)
+        legacy = foreign_parquet_files(path)
+        table = VersionedTable(self.spark, path)
+        if legacy:
+            if table.current_version() != 0:
+                raise RuntimeError(
+                    f"checkpoint stage at {path} has BOTH a versioned "
+                    f"manifest and {len(legacy)} non-versioned parquet "
+                    f"files (e.g. {legacy[0]}); resolve manually"
+                )
+            table.publish(self.spark.read.parquet(*legacy))
+            for f in legacy:
+                os.remove(f)
+        return table
 
     def _flush_ledger(self) -> None:
         tmp = self._ledger_path() + ".tmp"
@@ -121,27 +148,36 @@ class CheckpointStore:
         deps = deps or []
         fp = self.stage_fingerprint(stage, config_sig, deps)
         path = self._stage_path(stage)
+        table = self._stage_table(stage) if self.backend == "versioned" else None
+        have_data = (
+            table.current_version() > 0 if table is not None
+            else os.path.exists(path)
+        )
         row = self.ledger.get(stage)
         if (
             row is not None
             and row.get("status") == "complete"
             and row.get("input_fingerprint") == fp
-            and os.path.exists(path)
+            and have_data
         ):
             self.hits.append(stage)
-            return self.spark.read.parquet(path)
+            return (table.read() if table is not None
+                    else self.spark.read.parquet(path))
 
         t0 = time.time()
         df = fn()
-        tmp = path + "._tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        df.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)  # atomic publish: complete or absent
-
-        out = self.spark.read.parquet(path)
+        if table is not None:
+            table.publish(df)
+            out = table.read()
+        else:
+            tmp = path + "._tmp"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            df.write.mode("overwrite").parquet(tmp)
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.replace(tmp, path)  # atomic publish: complete or absent
+            out = self.spark.read.parquet(path)
         # per-partition lineage: row count per output file/partition
         part_rows = [
             [r["p"], r["n"]]

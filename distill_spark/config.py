@@ -116,11 +116,15 @@ class DedupConfig:
     #         (real clusters, local[16+]): the eager materialization
     #         barriers amortize and the attach becomes O(members).
     # "narrow": one fat signature cache, no semi-join, broadcast-reused
-    #         candidate frames (round-3 shape). Right at low parallelism,
-    #         where the extra serial job round-trips and materialization
-    #         passes cost more than they save (measured +18-26% wall at
-    #         local[4] for "wide").
-    # "auto": "wide" iff sparkContext.defaultParallelism >= 16.
+    #         candidate frames (round-3 shape). Right on a single box at
+    #         ANY thread count, where the extra serial job round-trips
+    #         and materialization passes cost more than they save
+    #         (round-4: +18-26% wall at local[4]; round-5 interleaved
+    #         bench-protocol A/B: wide also loses at local[32] —
+    #         BENCH.md round 5).
+    # "auto": "wide" iff the master is NOT local[*] (real executors
+    #         amortize the barriers and the semi-join keeps the verify
+    #         attach off the network; a single box never does).
     scale_mode: str = "auto"
 
     extra: dict = field(default_factory=dict)

@@ -170,26 +170,10 @@ class MemoryStore:
     def _data_path(self) -> str:
         return os.path.join(self.path, "memories")
 
-    def _legacy_parquet_files(self) -> list[str]:
-        """Parquet files under the data path that are NOT part of the
-        versioned table's own layout (its files live under data/, its
-        manifests under _v/) — i.e. a pre-existing dirs-layout store."""
-        p = self._data_path()
-        found: list[str] = []
-        if not os.path.isdir(p):
-            return found
-        for root, dirs, files in os.walk(p):
-            if root == os.path.normpath(p):
-                dirs[:] = [d for d in dirs
-                           if d != "data" and not d.startswith((".", "_"))]
-            else:
-                dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
-            found.extend(os.path.join(root, f) for f in files
-                         if f.endswith(".parquet"))
-        return found
-
     def _migrate_legacy_to_versioned(self) -> None:
-        legacy = self._legacy_parquet_files()
+        from .tableio import foreign_parquet_files
+
+        legacy = foreign_parquet_files(self._data_path())
         if not legacy:
             return
         if self._table.current_version() != 0:

@@ -95,12 +95,20 @@ def candidate_edges(
     """
     need_caption_channels = {"minhash", "simhash"} & set(channels)
     # scale-adaptive plan shape (config.scale_mode): "wide" amortizes
-    # eager materialization barriers + member semi-joins at high
-    # parallelism; "narrow" keeps the fewer-round-trip round-3 shape
-    # that wins at low parallelism (measured; see BENCH.md round 4)
+    # eager materialization barriers + member semi-joins across real
+    # executors; "narrow" is the fewer-round-trip round-3 shape.
+    # auto = wide only on a NON-local master. Round 4 gated on
+    # defaultParallelism >= 16, but the round-5 interleaved fresh-JVM
+    # A/B under the official bench protocol (scripts/bench_protocol_ab
+    # .py, BENCH.md round 5) showed wide losing at local[32] too —
+    # every extra serial materialization job is a driver round-trip on
+    # a shared memory bus, so on a single box "more threads" never buys
+    # back the barriers. On a multi-executor cluster the semi-join
+    # restriction is what keeps the verify attach off the network, so
+    # wide stays the cluster default.
     wide = cfg.scale_mode == "wide" or (
         cfg.scale_mode == "auto"
-        and meta.sparkSession.sparkContext.defaultParallelism >= 16
+        and not meta.sparkSession.sparkContext.master.startswith("local")
     )
 
     if cfg.sig_impl == "numpy" and need_caption_channels:

@@ -224,7 +224,8 @@ class SessionStore:
                  default_max_tokens: int = 8000,
                  default_dedup_jaccard: float = 0.85,
                  default_preserve_recent: int = 10,
-                 embedding_provider=None, dedup_cosine: float = 0.95):
+                 embedding_provider=None, dedup_cosine: float = 0.95,
+                 backend: str = "dirs"):
         """embedding_provider (embedding.EmbeddingProvider, optional):
         when set, entries persist an `embedding` column and the push
         dedup probe becomes embedding cosine >= dedup_cosine — the
@@ -241,6 +242,29 @@ class SessionStore:
         self.embedding_provider = embedding_provider
         self.dedup_cosine = dedup_cosine
         os.makedirs(path, exist_ok=True)
+        if backend not in ("dirs", "versioned"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if backend == "versioned":
+            # snapshot-isolated entries: a context() plan built before a
+            # push/delete still collects the pre-mutation rows (the
+            # dir-overwrite layout's readers race the rename). Same
+            # seam + legacy migration as MemoryStore.
+            from .tableio import VersionedTable, foreign_parquet_files
+
+            legacy = foreign_parquet_files(self._entries_path())
+            self._table = VersionedTable(spark, self._entries_path())
+            if legacy:
+                if self._table.current_version() != 0:
+                    raise RuntimeError(
+                        f"session store at {path} has BOTH a versioned "
+                        f"manifest and {len(legacy)} non-versioned parquet "
+                        f"files (e.g. {legacy[0]}); resolve manually"
+                    )
+                self._table.publish(spark.read.parquet(*legacy))
+                for f in legacy:
+                    os.remove(f)
+        else:
+            self._table = None
         self._sessions: dict[str, SessionConfig] = {}
         self._load_sessions()
 
@@ -271,18 +295,27 @@ class SessionStore:
 
     def entries(self, session_id: str | None = None) -> DataFrame:
         p = self._entries_path()
-        recover_dir(p)
-        if not os.path.exists(p):
-            df = self.spark.createDataFrame([], self._entry_schema())
+        if self._table is not None:
+            df = self._table.read(schema=self._entry_schema())
         else:
-            df = self.spark.read.parquet(p)
-            if self.embedding_provider is not None and "embedding" not in df.columns:
-                df = df.withColumn("embedding", F.lit(None).cast("array<float>"))
+            recover_dir(p)
+            if not os.path.exists(p):
+                df = self.spark.createDataFrame([], self._entry_schema())
+            else:
+                df = self.spark.read.parquet(p)
+        if self.embedding_provider is not None and "embedding" not in df.columns:
+            df = df.withColumn("embedding", F.lit(None).cast("array<float>"))
         if session_id is not None:
             df = df.filter(F.col("session_id") == session_id)
         return df
 
     def _publish(self, df: DataFrame) -> None:
+        if self._table is not None:
+            # copy-on-write: the new version's files are written fresh;
+            # df may lazily read the current version's files (never
+            # deleted by a writer), so no pre-materialization needed
+            self._table.publish(df)
+            return
         # crash-safe atomic swap with startup recovery (storeio): a crash
         # between the two renames leaves entries at `._old`, restored by
         # recover_dir on the next read/publish

@@ -224,3 +224,23 @@ class VersionedTable:
                     os.remove(os.path.join(root, name))
                     deleted.append(rel)
         return deleted
+
+
+def foreign_parquet_files(root: str) -> list[str]:
+    """Parquet files under `root` that are NOT part of a VersionedTable
+    layout (whose own files live under data/, manifests under _v/) —
+    i.e. rows a pre-existing dir-layout store left behind. Opening such
+    a path as a versioned table must migrate these, never silently
+    hide them (the manifest lists no files ⇒ the store looks empty)."""
+    found: list[str] = []
+    if not os.path.isdir(root):
+        return found
+    for cur, dirs, files in os.walk(root):
+        if cur == os.path.normpath(root):
+            dirs[:] = [d for d in dirs
+                       if d != "data" and not d.startswith((".", "_"))]
+        else:
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        found.extend(os.path.join(cur, f) for f in files
+                     if f.endswith(".parquet"))
+    return found

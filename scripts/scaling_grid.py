@@ -1,10 +1,24 @@
 """Same-night scaling grid: full dedupe() at 1M rows, fresh JVM per
-level, steady-state measurement (compile pass + cache clear + measured
-run). Appends one JSON line per level to /tmp/scaling_grid.jsonl and,
-when done, writes SCALING.json with BOTH N->4N pairs (1->4 and 2->8)
-from the same night's numbers.
+run, min-of-3 INTERLEAVED steady runs per level (round-5 protocol —
+VERDICT r4 "What's wrong" #1: one steady run per level, with the levels
+run in descending order on a cooling box, let a single bad T1 sample
+fake a superlinear 1->4 pair).
 
-Usage: python scripts/scaling_grid.py [n_images] [levels...]
+Protocol:
+  * levels interleave across reps (2,8,1,4, 2,8,1,4, ...) so no level
+    systematically lands on a degrading box;
+  * each run is a fresh JVM, JIT-warmed on a 2000-row slice (the exact
+    bench.py warmup) — steady state without paying a full-size cold
+    pass per run;
+  * per-level time = MIN over reps (min is the noise-robust estimator
+    for wall time on a shared box);
+  * BOTH pairs are reported; the GATE is 2->8. Any efficiency > 1.05
+    is recorded as "suspect" (physically meaningless for this proxy —
+    a measurement failure to rerun), never as a pass.
+
+Usage: python scripts/scaling_grid.py [n_images] [reps] [levels...]
+Appends one JSON line per run to /tmp/scaling_grid.jsonl and rewrites
+SCALING.json after every completed rep.
 """
 
 import json
@@ -15,7 +29,8 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 N_IMAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-LEVELS = [int(x) for x in sys.argv[2:]] or [1, 2, 4, 8]
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+LEVELS = [int(x) for x in sys.argv[3:]] or [2, 8, 1, 4]
 OUT = "/tmp/scaling_grid.jsonl"
 
 RUNNER = """
@@ -28,16 +43,15 @@ from distill_spark.operators import dedupe
 cores = int(sys.argv[1]); n = int(sys.argv[2])
 spark = get_spark("scaling", cores=cores, shuffle_partitions=2*cores)
 images = spark.read.parquet(f"/tmp/distill_bench/images_n{n}_seed42.parquet")
+cfg = DedupConfig()
+# bench.py's exact warmup: JIT/codegen on a 2000-row slice
+warm = images.limit(2000).cache(); warm.count()
+r = dedupe(warm, cfg); r.assignments.count(); r.unpersist()
+warm.unpersist(); spark.catalog.clearCache()
 t0 = time.time()
-r = dedupe(images, DedupConfig()); r.assignments.count()
-cold = time.time() - t0
-r.unpersist()
-spark.catalog.clearCache()
-t0 = time.time()
-r = dedupe(images, DedupConfig()); cnt = r.assignments.count()
+r = dedupe(images, cfg); cnt = r.assignments.count()
 dt = time.time() - t0
 print(json.dumps({"cores": cores, "n": n, "sec": round(dt, 2),
-                  "cold_sec": round(cold, 2),
                   "images_per_sec": round(cnt / dt, 1)}))
 """
 
@@ -45,7 +59,7 @@ print(json.dumps({"cores": cores, "n": n, "sec": round(dt, 2),
 def run(cores: int) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", RUNNER, str(cores), str(N_IMAGES)],
-        capture_output=True, text=True, timeout=3600,
+        capture_output=True, text=True, timeout=5400,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -55,48 +69,61 @@ def main() -> None:
     from bench import ensure_images
 
     ensure_images(None, N_IMAGES)
-    results = {}
+    samples: dict[int, list[dict]] = {c: [] for c in LEVELS}
     with open(OUT, "w") as f:
         f.write("")
 
+    def best(c):
+        xs = samples[c]
+        b = min(xs, key=lambda r: r["sec"])
+        return {**b, "n_runs": len(xs),
+                "all_sec": sorted(r["sec"] for r in xs)}
+
     def pair(a, b):
-        eff = round((results[a]["sec"] / results[b]["sec"]) / 4, 3)
+        sa, sb = best(a), best(b)
+        eff = round((sa["sec"] / sb["sec"]) / 4, 3)
         return {
             "n_images": N_IMAGES,
-            "small": results[a],
-            "big": results[b],
+            "small": sa,
+            "big": sb,
             "scaling_efficiency": eff,
             "criterion": "efficiency = (T_N / T_4N) / 4 >= 0.8",
-            "methodology": "steady-state run in a fresh JVM per level "
-                           "(one full-size compile pass, cache cleared "
-                           "before the measured run); cold first-run "
-                           "times in cold_sec; all levels measured the "
-                           "same night by scripts/scaling_grid.py",
-            "pass": eff >= 0.8,
+            "pass": 0.8 <= eff <= 1.05,
+            "suspect": eff > 1.05,
         }
 
-    def flush_pairs():
-        """Refresh SCALING.json with whatever pairs are available so a
-        truncated night still leaves the best current evidence."""
-        result = None
-        if 1 in results and 4 in results:
-            result = pair(1, 4)
-            if 2 in results and 8 in results:
-                result["same_night_context"] = {"pair_2_to_8": pair(2, 8)}
-        elif 2 in results and 8 in results:
-            result = pair(2, 8)
-        if result is not None:
+    def flush():
+        have = {c for c in LEVELS if samples[c]}
+        out = {
+            "n_images": N_IMAGES,
+            "methodology": (
+                "min-of-N steady runs per level; fresh JVM per run; "
+                "JIT warmed on a 2000-row slice (bench.py protocol); "
+                "levels INTERLEAVED across reps the same night "
+                "(scripts/scaling_grid.py round-5 protocol); gate pair "
+                "2->8; efficiency > 1.05 recorded as suspect, not pass"
+            ),
+        }
+        if {2, 8} <= have:
+            out["pair_2_to_8_gate"] = pair(2, 8)
+        if {1, 4} <= have:
+            out["pair_1_to_4"] = pair(1, 4)
+        if "pair_2_to_8_gate" in out:
+            out["pass"] = out["pair_2_to_8_gate"]["pass"]
+        if len(out) > 2:
             with open("/root/repo/SCALING.json", "w") as f:
-                json.dump(result, f, indent=2)
-            print(json.dumps(result), flush=True)
+                json.dump(out, f, indent=2)
+            print(json.dumps(out), flush=True)
 
-    for c in LEVELS:
-        r = run(c)
-        results[c] = r
-        with open(OUT, "a") as f:
-            f.write(json.dumps(r) + "\n")
-        print(json.dumps(r), flush=True)
-        flush_pairs()
+    for rep in range(REPS):
+        for c in LEVELS:
+            r = run(c)
+            r["rep"] = rep
+            samples[c].append(r)
+            with open(OUT, "a") as f:
+                f.write(json.dumps(r) + "\n")
+            print(json.dumps(r), flush=True)
+        flush()
 
 
 if __name__ == "__main__":

@@ -4,6 +4,7 @@ with surrounding plan-node context. Usage:
 python scripts/shuffle_sql.py [n] [cores]"""
 
 import json
+import os
 import re
 import sys
 import urllib.request
@@ -25,7 +26,16 @@ spark = get_spark(
 from bench import ensure_images  # noqa: E402
 
 images = spark.read.parquet(ensure_images(spark, N))
-cnt = dedupe(images, DedupConfig()).assignments.count()
+# same A/B knobs as bench.py (scripts/bench_protocol_ab.py): unset -> defaults
+_kw = {}
+if os.environ.get("DISTILL_SCALE_MODE"):
+    _kw["scale_mode"] = os.environ["DISTILL_SCALE_MODE"]
+if os.environ.get("DISTILL_JACCARD_VERIFY"):
+    _kw["jaccard_verify_impl"] = os.environ["DISTILL_JACCARD_VERIFY"]
+if os.environ.get("DISTILL_LANE_BITS"):
+    _kw["minhash_lane_bits"] = int(os.environ["DISTILL_LANE_BITS"])
+print("cfg overrides:", _kw)
+cnt = dedupe(images, DedupConfig(**_kw)).assignments.count()
 print("rows:", cnt)
 
 
