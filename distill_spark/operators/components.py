@@ -70,7 +70,9 @@ def connected_components(
     labels = _ckpt(labels)
     sym = _ckpt(sym)
 
+    iters = 0
     for _ in range(cfg.cc_max_iters):
+        iters += 1
         # hash-min: candidate label for v = min label among neighbors
         nbr = (
             sym.join(labels.withColumnRenamed("node", "u"), "u")
@@ -116,6 +118,11 @@ def connected_components(
         changed = obs.get.get("changed") or 0
         if changed == 0:
             break
+
+    # observability for scale probes (scripts/shuffle_phases.py): how
+    # many hash-min+jump rounds this graph needed — the serial floor of
+    # the pipeline at any cluster size
+    connected_components.last_iterations = iters
 
     result = labels.select(F.col("node").alias(id_col), F.col("label").alias(out_col))
     if nodes is not None:

@@ -1,0 +1,43 @@
+"""Generate a 10M-row META-ONLY images table (image_id, caption, phash)
+for the dup-graph-regime probe (VERDICT r4 "Next round" #4): the
+per-phase attribution harness (shuffle_phases.py) never reads the pixel
+bytes, so the probe input drops them — 10 chunks of 1M rows from
+datagen.generate_images_pdf at seeds 42..51, ids offset per chunk so
+the planted dup structure repeats per chunk (same density) and never
+collides across chunks.
+
+Usage: python scripts/gen_meta_10m.py [n_chunks]
+Writes /tmp/distill_bench/meta_n{n}_seed42.parquet (a directory of one
+parquet file per chunk — splittable, 16k row groups like bench.py).
+"""
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+from distill_spark.datagen import generate_images_pdf  # noqa: E402
+
+CHUNK = 1_000_000
+n_chunks = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+out = f"/tmp/distill_bench/meta_n{n_chunks * CHUNK}_seed42"
+os.makedirs(out, exist_ok=True)
+
+for i in range(n_chunks):
+    part = os.path.join(out, f"part-{i:03d}.parquet")
+    if os.path.exists(part):
+        print(f"chunk {i}: exists", flush=True)
+        continue
+    pdf, _ = generate_images_pdf(n=CHUNK, seed=42 + i)
+    pdf = pdf[["image_id", "caption", "phash"]].copy()
+    # offset ids so chunks never collide: img<chunk><7-digit idx>
+    pdf["image_id"] = pdf["image_id"].str.replace(
+        "img0", f"img{i:x}", n=1, regex=False
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), part, row_group_size=16384)
+    print(f"chunk {i}: wrote {len(pdf)} rows", flush=True)
+
+print("done:", out, flush=True)

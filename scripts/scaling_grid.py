@@ -70,8 +70,15 @@ def main() -> None:
 
     ensure_images(None, N_IMAGES)
     samples: dict[int, list[dict]] = {c: [] for c in LEVELS}
-    with open(OUT, "w") as f:
-        f.write("")
+    # seed from a prior same-night run of THIS grid (append semantics):
+    # relaunching with extra reps merges floors honestly — every level
+    # gets the same number of additional interleaved samples
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            for line in f:
+                r = json.loads(line)
+                if r.get("n") == N_IMAGES and r.get("cores") in samples:
+                    samples[r["cores"]].append(r)
 
     def best(c):
         xs = samples[c]

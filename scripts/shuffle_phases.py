@@ -3,6 +3,7 @@ stage family by stage family (same building blocks as dedupe()) and
 diffs the cluster-cumulative shuffle read/write + input bytes between
 phases. Usage: python scripts/shuffle_phases.py [n] [cores]"""
 
+import os
 import json
 import sys
 import time
@@ -33,9 +34,15 @@ cfg = DedupConfig()
 
 from bench import ensure_images  # noqa: E402
 
-path = ensure_images(spark, N)
-images = spark.read.parquet(path)
-meta = images.select("image_id", "caption", "phash")
+# DISTILL_META_PARQUET: read a pre-generated meta-only table (image_id,
+# caption, phash) instead of the full images table — the harness never
+# touches the pixel bytes (10M probe: scripts/gen_meta_10m.py)
+meta_path = os.environ.get("DISTILL_META_PARQUET")
+if meta_path:
+    meta = spark.read.parquet(meta_path)
+else:
+    images = spark.read.parquet(ensure_images(spark, N))
+    meta = images.select("image_id", "caption", "phash")
 meta = meta.withColumn("image_id", F.xxhash64("image_id"))  # int-id mode
 
 
@@ -119,4 +126,17 @@ mark("edge union")
 
 cc = connected_components(edges, nodes=None, id_col="image_id", cfg=cfg)
 print("  cc rows:", cc.count())
+print("  cc iterations:", getattr(connected_components, "last_iterations", "?"))
 mark("connected components")
+
+# edge skew: heaviest nodes by degree (the dup-graph-dominant regime's
+# straggler risk is a hot component's star center)
+deg = (
+    edges.select(F.explode(F.array("a", "b")).alias("n"))
+    .groupBy("n").count().orderBy(F.desc("count")).limit(5).collect()
+)
+print("  top edge degrees:", [r["count"] for r in deg])
+comp_sizes = cc.groupBy("component").count()
+big = comp_sizes.orderBy(F.desc("count")).limit(5).collect()
+print("  top component sizes:", [r["count"] for r in big])
+
