@@ -150,7 +150,16 @@ def _refined_value_pairs(
             ).alias("rv"),
             (F.col("nbits") - F.col("s.w")).alias("nbits"),
         )
-        sized = ex.withColumn("_sz", F.count(F.lit(1)).over(w))
+        # each level's window exchange feeds TWO lazy branches (the
+        # small-bucket pair expansion AND the next level's pend), and
+        # the levels compound: without a persist every branch re-derives
+        # the whole prior-level chain, multiplying the exchange's disk
+        # writes per level. Invisible at 1M rows (level 0 converges:
+        # 1M/4096 ≈ 244 ≤ cap) — at 10M EVERY level-0 bucket exceeds the
+        # cap, level 1 is a ~250M-row exchange, and the re-execution
+        # filled the disk (round-5 10M probe). Bounded: ≤ max_levels
+        # persists, evicted under pressure / at session end.
+        sized = ex.withColumn("_sz", F.count(F.lit(1)).over(w)).persist()
         small = sized.filter((F.col("_sz") >= 2) & (F.col("_sz") <= cap))
         grouped = small.groupBy("key").agg(
             F.sort_array(F.collect_list("val")).alias("_ids")

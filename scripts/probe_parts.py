@@ -1,0 +1,175 @@
+"""10M-row probe, split into one JVM per phase group so each phase's
+shuffle files are freed before the next starts (a single 10M session
+accumulates ~25 GB of live shuffle files per channel and filled the
+disk twice — shuffle files are only reaped when their dependency is
+GC'd, i.e. effectively at session end). Each part writes its edge
+frame to parquet under /tmp/probe_edges/ and reports the same
+shuffle/input attribution as scripts/shuffle_phases.py.
+
+Usage: python scripts/probe_parts.py <text|phash|winnow|cc> [n] [cores]
+with DISTILL_META_PARQUET pointing at the meta-only table
+(scripts/gen_meta_10m.py).
+"""
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from distill_spark.session import get_spark
+from distill_spark.config import DedupConfig
+from distill_spark.operators.signatures import with_signatures
+from distill_spark.operators.minhash import band_buckets
+from distill_spark.operators.lsh import pairs_from_buckets, pairs_and_overflow
+from distill_spark.operators.hamming import hamming_candidate_pairs, verify_hamming
+from distill_spark.operators.winnow import with_fingerprints, refine_oversized
+from distill_spark.operators.verify import verify_jaccard, verify_lcs
+from distill_spark.operators.components import connected_components
+
+PART = sys.argv[1]
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+CORES = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+EDGES = "/tmp/probe_edges"
+os.makedirs(EDGES, exist_ok=True)
+
+extra = {"spark.ui.enabled": "true", "spark.ui.port": "4050"}
+# zstd survival knob for the disk-heaviest parts at 10M on one box
+# (lz4 shuffle files ~2-3x larger; byte attributions are then
+# POST-COMPRESSION and labeled as such) — a real cluster spreads the
+# same files over N machines' disks and doesn't need this
+if os.environ.get("DISTILL_SHUFFLE_CODEC"):
+    extra["spark.io.compression.codec"] = os.environ["DISTILL_SHUFFLE_CODEC"]
+# dedicated scratch dir: an earlier run died when a concurrent /tmp
+# cleanup removed its blockmgr directory mid-shuffle
+local_dir = f"/root/spark-local/{PART}"
+os.makedirs(local_dir, exist_ok=True)
+extra["spark.local.dir"] = local_dir
+spark = get_spark(
+    f"probe_{PART}", cores=CORES, shuffle_partitions=2 * CORES,
+    extra_conf=extra,
+)
+cfg = DedupConfig()
+
+meta = spark.read.parquet(os.environ["DISTILL_META_PARQUET"])
+meta = meta.withColumn("image_id", F.xxhash64("image_id"))  # int-id mode
+
+
+def totals():
+    with urllib.request.urlopen("http://localhost:4050/api/v1/applications") as r:
+        app_id = json.loads(r.read())[0]["id"]
+    with urllib.request.urlopen(
+        f"http://localhost:4050/api/v1/applications/{app_id}/stages?status=complete"
+    ) as r:
+        stages = json.loads(r.read())
+    return (
+        sum(s["shuffleReadBytes"] for s in stages),
+        sum(s["shuffleWriteBytes"] for s in stages),
+        sum(s["inputBytes"] for s in stages),
+    )
+
+
+_prev = [0, 0, 0, time.time()]
+
+
+def mark(name):
+    r, w, i = totals()
+    dt = time.time() - _prev[3]
+    print(
+        f"{name:>22}: shuf_read {(r - _prev[0])/1e6:8.1f} MB | "
+        f"shuf_write {(w - _prev[1])/1e6:8.1f} MB | "
+        f"input {(i - _prev[2])/1e6:8.1f} MB | {dt:6.1f}s",
+        flush=True,
+    )
+    _prev[:] = [r, w, i, time.time()]
+
+
+mark("startup")
+
+if PART == "text":
+    sigs = with_signatures(meta, "caption", "image_id", cfg,
+                           parts=("shingles", "minhash", "simhash")).persist()
+    sigs.count()
+    mark("signatures+persist")
+
+    bb = band_buckets(
+        sigs.filter(F.col("minhash").isNotNull()).select("image_id", "minhash"),
+        "minhash", "image_id", cfg)
+    mh_cand = pairs_from_buckets(bb, ["bucket"], "image_id", cfg).persist()
+    print("  mh_cand:", mh_cand.count())
+    mark("minhash buckets+pairs")
+
+    sh = sigs.filter(F.col("simhash").isNotNull()).select("image_id", "simhash")
+    sh_cand = hamming_candidate_pairs(sh, "simhash", cfg.simhash_hamming_k,
+                                      "image_id", cfg)
+    sh_cand = verify_hamming(sh_cand, sh, "simhash", cfg.simhash_hamming_k,
+                             "image_id").persist()
+    print("  sh_cand:", sh_cand.count())
+    mark("simhash channel")
+
+    jac = mh_cand.unionByName(sh_cand).dropDuplicates(["a", "b"])
+    jedges = verify_jaccard(jac, sigs.select("image_id", "shingles"),
+                            cfg.jaccard_threshold, "shingles", "image_id")
+    jedges.write.mode("overwrite").parquet(f"{EDGES}/jedges")
+    print("  jedges:", spark.read.parquet(f"{EDGES}/jedges").count())
+    mark("jaccard verify+write")
+
+elif PART == "phash":
+    ph = meta.select("image_id", "phash")
+    phc = hamming_candidate_pairs(ph, "phash", cfg.phash_hamming_k,
+                                  "image_id", cfg)
+    phe = verify_hamming(phc, ph, "phash", cfg.phash_hamming_k, "image_id")
+    phe.write.mode("overwrite").parquet(f"{EDGES}/phedges")
+    print("  ph_edges:", spark.read.parquet(f"{EDGES}/phedges").count())
+    mark("phash channel+write")
+
+elif PART == "winnow":
+    fp = with_fingerprints(meta.select("image_id", "caption"), "caption",
+                           "fp", cfg, impl=cfg.winnow_impl)
+    fpx = fp.select("image_id", F.explode("fp").alias("fingerprint"))
+    small_cand, overflow = pairs_and_overflow(fpx, ["fingerprint"], "image_id",
+                                              cfg, cap=cfg.max_fp_bucket_size)
+    refined = refine_oversized(overflow, meta.select("image_id", "caption"), cfg)
+    sub_cand = pairs_from_buckets(refined, ["fingerprint", "subfp"], "image_id",
+                                  cfg, cap=cfg.max_fp_bucket_size,
+                                  oversize="star")
+    wc = small_cand.unionByName(sub_cand).dropDuplicates(["a", "b"])
+    wedges = verify_lcs(wc, meta.select("image_id", "caption"), cfg, "caption",
+                        "image_id", impl=cfg.lcs_impl)
+    wedges.write.mode("overwrite").parquet(f"{EDGES}/wedges")
+    print("  w_edges:", spark.read.parquet(f"{EDGES}/wedges").count())
+    mark("winnow+lcs channel+write")
+
+elif PART == "cc":
+    edges = (
+        spark.read.parquet(f"{EDGES}/jedges")
+        .unionByName(spark.read.parquet(f"{EDGES}/phedges"))
+        .unionByName(spark.read.parquet(f"{EDGES}/wedges"))
+        .dropDuplicates(["a", "b"])
+        .persist()
+    )
+    print("  edges:", edges.count())
+    mark("edge union")
+
+    cc = connected_components(edges, nodes=None, id_col="image_id", cfg=cfg)
+    cc = cc.persist()
+    print("  cc rows:", cc.count())
+    print("  cc iterations:",
+          getattr(connected_components, "last_iterations", "?"))
+    mark("connected components")
+
+    deg = (
+        edges.select(F.explode(F.array("a", "b")).alias("n"))
+        .groupBy("n").count().orderBy(F.desc("count")).limit(5).collect()
+    )
+    print("  top edge degrees:", [r["count"] for r in deg])
+    big = cc.groupBy("component").count().orderBy(F.desc("count")).limit(5).collect()
+    print("  top component sizes:", [r["count"] for r in big])
+    mark("skew stats")
+
+else:
+    raise SystemExit(f"unknown part {PART!r}")
