@@ -42,10 +42,37 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructField, StructType
 
 
 class ConcurrentWriteError(RuntimeError):
     """LATEST moved between read-for-commit and commit (two writers)."""
+
+
+def _nullable(schema: StructType) -> StructType:
+    """All-nullable copy: a file committed before a column existed reads
+    that column as null, so the recorded table schema must not promise
+    non-null."""
+    return StructType([
+        StructField(f.name, f.dataType, True, f.metadata) for f in schema
+    ])
+
+
+def _merge_schemas(old: StructType | None, new: StructType) -> StructType | None:
+    """Union by name; None on a type conflict (read then falls back to
+    per-file footer merging, the pre-schema behavior)."""
+    new = _nullable(new)
+    if old is None:
+        return new
+    by_name = {f.name: f for f in old}
+    out = list(old)
+    for f in new:
+        prev = by_name.get(f.name)
+        if prev is None:
+            out.append(f)
+        elif prev.dataType != f.dataType:
+            return None
+    return StructType(out)
 
 
 class VersionedTable:
@@ -91,13 +118,26 @@ class VersionedTable:
         """DataFrame over the PINNED file list of `version` (default:
         current). The plan holds explicit file paths — later commits or
         vacuums of *newer* versions cannot change what it reads."""
-        files = self.files(version)
+        v = self.current_version() if version is None else version
+        man = self._manifest(v)
+        files = man["files"]
         if not files:
             if schema is None:
                 raise ValueError("empty table and no schema given")
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self._ddir(), rel) for rel in sorted(files)]
-        reader = self.spark.read.option("mergeSchema", "true")
+        man_schema = man.get("schema")
+        if man_schema is not None:
+            # the manifest carries the committed table schema: read with
+            # it directly — no per-file footer reads (mergeSchema opens
+            # EVERY file's footer driver-side before planning, which at
+            # 10^5+ files dominates the read; see round-4 verdict)
+            reader = self.spark.read.schema(
+                StructType.fromJson(json.loads(man_schema)))
+        else:
+            # pre-schema manifest (older table) or a type-conflicting
+            # append: merge footers
+            reader = self.spark.read.option("mergeSchema", "true")
         if self.partition_by:
             reader = reader.option("basePath", self._ddir())
         return reader.parquet(*paths)
@@ -141,14 +181,16 @@ class VersionedTable:
             # unreferenced, which vacuum() reaps
             shutil.rmtree(tmp, ignore_errors=True)
 
-    def _commit(self, files: dict[str, dict], expected_version: int) -> int:
+    def _commit(self, files: dict[str, dict], expected_version: int,
+                schema: StructType | None = None) -> int:
         if self.current_version() != expected_version:
             raise ConcurrentWriteError(
                 f"table {self.path} moved past v{expected_version} during "
                 "this write (second writer?)"
             )
         new_v = expected_version + 1
-        man = {"version": new_v, "files": files}
+        man = {"version": new_v, "files": files,
+               "schema": schema.json() if schema is not None else None}
         mp = self._manifest_path(new_v)
         tmp = mp + ".tmp"
         with open(tmp, "w") as f:
@@ -161,17 +203,32 @@ class VersionedTable:
         os.replace(ltmp, lp)
         return new_v
 
+    def _current_schema(self, version: int) -> StructType | None:
+        s = self._manifest(version).get("schema")
+        return None if s is None else StructType.fromJson(json.loads(s))
+
+    def _next_schema(self, version: int, df: DataFrame) -> StructType | None:
+        """Schema to record for a version that keeps `version`'s files and
+        adds df's. A pre-schema manifest with files (older table layout)
+        stays schema-less — its files' true columns are unknown without
+        footer reads, so recording df.schema alone could hide columns."""
+        old = self._current_schema(version)
+        if old is None and self._manifest(version)["files"]:
+            return None
+        return _merge_schemas(old, df.schema)
+
     def publish(self, df: DataFrame) -> int:
         """Full overwrite (CREATE OR REPLACE): next version = df only."""
         v = self.current_version()
-        return self._commit(self._stage_files(df), v)
+        return self._commit(self._stage_files(df), v,
+                            schema=_nullable(df.schema))
 
     def append(self, df: DataFrame) -> int:
         """Transactional append: next version = current files + df's."""
         v = self.current_version()
         files = dict(self._manifest(v)["files"])
         files.update(self._stage_files(df))
-        return self._commit(files, v)
+        return self._commit(files, v, schema=self._next_schema(v, df))
 
     def replace_partitions(self, df: DataFrame, values: list) -> int:
         """MERGE-shaped rewrite: next version drops every file whose
@@ -188,7 +245,7 @@ class VersionedTable:
             if str(info.get("part")) not in drop
         }
         files.update(self._stage_files(df))
-        return self._commit(files, v)
+        return self._commit(files, v, schema=self._next_schema(v, df))
 
     # ---------------------------------------------------------- maintain
     def vacuum(self, keep: int = 2) -> list[str]:
