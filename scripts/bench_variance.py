@@ -1,0 +1,74 @@
+"""Diagnose the dedupe_full run-to-run variance under the exact bench.py
+protocol: one fresh-JVM headline run per invocation with the UI on;
+prints wall, total executor task time, GC time, shuffle bytes, and
+stage/job counts. A slow draw with FLAT task time = scheduling gaps /
+barriers; task time scaling with wall = re-executed work (cache race);
+GC-heavy = heap pressure.
+
+Usage: python scripts/bench_variance.py [tag]
+"""
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, "/root/repo")
+
+TAG = sys.argv[1] if len(sys.argv) > 1 else "run"
+PORT = 4052
+
+from distill_spark.session import get_spark
+from distill_spark.config import DedupConfig
+from distill_spark.operators import dedupe
+from bench import ensure_images
+
+spark = get_spark(
+    "bench_var", cores=32, shuffle_partitions=64,
+    extra_conf={"spark.ui.enabled": "true", "spark.ui.port": str(PORT)},
+)
+cfg = DedupConfig()
+path = ensure_images(spark, 100_000)
+images = spark.read.parquet(path)
+
+warm = images.limit(2000).cache()
+warm.count()
+dedupe(warm, cfg).assignments.count()
+warm.unpersist()
+
+t0 = time.time()
+dedupe(images, cfg).assignments.count()
+wall = time.time() - t0
+
+
+def get(url):
+    with urllib.request.urlopen(url) as r:
+        return json.loads(r.read())
+
+
+app = get(f"http://localhost:{PORT}/api/v1/applications")[0]["id"]
+stages = get(f"http://localhost:{PORT}/api/v1/applications/{app}/stages?status=complete")
+jobs = get(f"http://localhost:{PORT}/api/v1/applications/{app}/jobs")
+run_time = sum(s["executorRunTime"] for s in stages) / 1000
+gc_time = sum(s["jvmGcTime"] for s in stages) / 1000
+cpu_time = sum(s.get("executorCpuTime", 0) for s in stages) / 1e9
+sread = sum(s["shuffleReadBytes"] for s in stages) / 1e6
+swrite = sum(s["shuffleWriteBytes"] for s in stages) / 1e6
+inp = sum(s["inputBytes"] for s in stages) / 1e6
+tasks = sum(s["numCompleteTasks"] for s in stages)
+print(json.dumps({
+    "tag": TAG, "wall_s": round(wall, 1),
+    "task_time_s": round(run_time, 1), "cpu_time_s": round(cpu_time, 1),
+    "gc_s": round(gc_time, 1),
+    "n_stages": len(stages), "n_jobs": len(jobs), "n_tasks": tasks,
+    "shuf_read_mb": round(sread, 1), "shuf_write_mb": round(swrite, 1),
+    "input_mb": round(inp, 1),
+}), flush=True)
+# top stages by run time, to localize a slow mode
+top = sorted(stages, key=lambda s: -s["executorRunTime"])[:6]
+for s in top:
+    print(f"  stage {s['stageId']:>4} tasks={s['numCompleteTasks']:>4} "
+          f"run={s['executorRunTime']/1000:7.1f}s gc={s['jvmGcTime']/1000:5.1f}s "
+          f"sr={s['shuffleReadBytes']/1e6:8.1f}MB in={s['inputBytes']/1e6:8.1f}MB",
+          flush=True)
