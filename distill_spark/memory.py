@@ -119,7 +119,9 @@ class MemoryStore:
             from .tableio import VersionedTable
 
             self._table = VersionedTable(
-                spark, self._data_path(), partition_by="bucket"
+                spark, self._data_path(), partition_by="bucket",
+                stats_col="id",  # file-level id ranges in the manifest:
+                # merge()/point lookups can skip key-disjoint files
             )
             # opening a pre-existing dirs-layout store as "versioned"
             # must not silently show an empty store (the manifest lists

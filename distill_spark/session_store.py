@@ -252,7 +252,8 @@ class SessionStore:
             from .tableio import VersionedTable, foreign_parquet_files
 
             legacy = foreign_parquet_files(self._entries_path())
-            self._table = VersionedTable(spark, self._entries_path())
+            self._table = VersionedTable(spark, self._entries_path(),
+                                         stats_col="seq")
             if legacy:
                 if self._table.current_version() != 0:
                     raise RuntimeError(

@@ -75,11 +75,53 @@ def _merge_schemas(old: StructType | None, new: StructType) -> StructType | None
     return StructType(out)
 
 
+def _file_stats(path: str, column: str) -> dict:
+    """Per-file stats from the parquet footer (no Spark job, no data
+    read): row count always; min/max of `column` when every row group
+    carries stats for it. Strings/ints/floats only — anything else
+    (or a stats-less row group) records min/max as None, which merge()
+    treats as "could match anything"."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict = {"rows": md.num_rows}
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    ci = idx.get(column)
+    lo = hi = None
+    if ci is not None:
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    lo = hi = None
+                    break
+            if not isinstance(mn, (int, float, str)):
+                lo = hi = None
+                break
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+    out["min"], out["max"] = lo, hi
+    return out
+
+
 class VersionedTable:
     def __init__(self, spark: SparkSession, path: str,
-                 partition_by: str | None = None):
+                 partition_by: str | None = None,
+                 stats_col: str | None = None):
+        """stats_col: column whose per-file min/max is recorded in the
+        manifest at commit time (Iceberg-style file stats) — merge()
+        uses it to rewrite only files whose key range overlaps the
+        source, and it costs one footer read per new file, no data
+        pass. Typically the store's id/key column."""
         self.spark, self.path = spark, path
         self.partition_by = partition_by
+        self.stats_col = stats_col
         os.makedirs(self._vdir(), exist_ok=True)
         os.makedirs(self._ddir(), exist_ok=True)
 
@@ -113,19 +155,7 @@ class VersionedTable:
         v = self.current_version() if version is None else version
         return self._manifest(v)["files"]
 
-    def read(self, schema: str | None = None,
-             version: int | None = None) -> DataFrame:
-        """DataFrame over the PINNED file list of `version` (default:
-        current). The plan holds explicit file paths — later commits or
-        vacuums of *newer* versions cannot change what it reads."""
-        v = self.current_version() if version is None else version
-        man = self._manifest(v)
-        files = man["files"]
-        if not files:
-            if schema is None:
-                raise ValueError("empty table and no schema given")
-            return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self._ddir(), rel) for rel in sorted(files)]
+    def _reader_for(self, man: dict):
         man_schema = man.get("schema")
         if man_schema is not None:
             # the manifest carries the committed table schema: read with
@@ -140,7 +170,39 @@ class VersionedTable:
             reader = self.spark.read.option("mergeSchema", "true")
         if self.partition_by:
             reader = reader.option("basePath", self._ddir())
-        return reader.parquet(*paths)
+        return reader
+
+    def read(self, schema: str | None = None,
+             version: int | None = None) -> DataFrame:
+        """DataFrame over the PINNED file list of `version` (default:
+        current). The plan holds explicit file paths — later commits or
+        vacuums of *newer* versions cannot change what it reads."""
+        v = self.current_version() if version is None else version
+        man = self._manifest(v)
+        files = man["files"]
+        if not files:
+            man_schema = man.get("schema")
+            if man_schema is not None:
+                # a committed-but-empty version knows its own schema
+                return self.spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(man_schema)))
+            if schema is None:
+                raise ValueError("empty table and no schema given")
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self._ddir(), rel) for rel in sorted(files)]
+        return self._reader_for(man).parquet(*paths)
+
+    def row_count(self, version: int | None = None) -> int | None:
+        """Exact row count from manifest stats alone (no file reads) —
+        None if any file predates stats recording."""
+        v = self.current_version() if version is None else version
+        total = 0
+        for info in self._manifest(v)["files"].values():
+            st = info.get("stats")
+            if st is None:
+                return None
+            total += st["rows"]
+        return total
 
     # ------------------------------------------------------------ write
     def _stage_files(self, df: DataFrame) -> dict[str, dict]:
@@ -158,6 +220,13 @@ class VersionedTable:
                 for name in names:
                     if not name.endswith(".parquet"):
                         continue
+                    # Spark emits zero-row part files for empty input
+                    # partitions; committing them bloats the manifest
+                    # and the read's file list for nothing
+                    import pyarrow.parquet as pq
+                    if pq.ParquetFile(
+                            os.path.join(root, name)).metadata.num_rows == 0:
+                        continue
                     rel_dir = os.path.relpath(root, tmp)
                     part = None
                     if rel_dir != "." and "=" in rel_dir:
@@ -172,7 +241,11 @@ class VersionedTable:
                                os.path.join(dst_dir, new_name))
                     rel = (new_name if rel_dir == "."
                            else os.path.join(rel_dir, new_name))
-                    entries[rel] = {"part": part}
+                    entry: dict = {"part": part}
+                    if self.stats_col:
+                        entry["stats"] = _file_stats(
+                            os.path.join(dst_dir, new_name), self.stats_col)
+                    entries[rel] = entry
             return entries
         finally:
             # a failed write would otherwise leave the _stage_* dir under
@@ -229,6 +302,60 @@ class VersionedTable:
         files = dict(self._manifest(v)["files"])
         files.update(self._stage_files(df))
         return self._commit(files, v, schema=self._next_schema(v, df))
+
+    def merge(self, df: DataFrame, key: str) -> int:
+        """MERGE df INTO table ON table.key = df.key — WHEN MATCHED
+        UPDATE SET * / WHEN NOT MATCHED INSERT * (whole-row upsert, the
+        batched-upsert sink's contract; reference analog: the INSERT OR
+        REPLACE write path /root/reference/pkg/memory/sqlite.go).
+
+        Copy-on-write at file granularity: only files whose manifest
+        [min, max] range of `stats_col` overlaps the source's key range
+        are rewritten (anti-join out matched keys, union the source);
+        disjoint files carry over into the new manifest untouched. With
+        stats_col != key (or stats-less legacy files) every file is a
+        candidate — correct, just unpruned. df must carry the partition
+        column when the table is partitioned. An empty df is a no-op
+        (returns the current version, no commit)."""
+        from pyspark.sql import functions as F
+
+        v = self.current_version()
+        man = self._manifest(v)
+        files = dict(man["files"])
+        if not files:
+            if df.isEmpty():
+                return v
+            return self._commit(self._stage_files(df), v,
+                                schema=_nullable(df.schema))
+        bounds = df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+        if bounds["lo"] is None:
+            return v
+        lo, hi = bounds["lo"], bounds["hi"]
+        candidates = set()
+        for rel, info in files.items():
+            st = info.get("stats")
+            try:
+                if (self.stats_col == key and st is not None
+                        and st.get("min") is not None
+                        and (st["max"] < lo or st["min"] > hi)):
+                    continue
+            except TypeError:
+                # stats type ≠ key type (schema drift): can't prune
+                pass
+            candidates.add(rel)
+        if candidates:
+            paths = [os.path.join(self._ddir(), rel)
+                     for rel in sorted(candidates)]
+            existing = self._reader_for(man).parquet(*paths)
+            kept = existing.join(df.select(key).distinct(), on=key,
+                                 how="left_anti")
+            new_rows = kept.unionByName(df, allowMissingColumns=True)
+        else:
+            new_rows = df
+        out = {rel: info for rel, info in files.items()
+               if rel not in candidates}
+        out.update(self._stage_files(new_rows))
+        return self._commit(out, v, schema=self._next_schema(v, df))
 
     def replace_partitions(self, df: DataFrame, values: list) -> int:
         """MERGE-shaped rewrite: next version drops every file whose
