@@ -316,7 +316,10 @@ class VersionedTable:
         stats_col != key (or stats-less legacy files) every file is a
         candidate — correct, just unpruned. df must carry the partition
         column when the table is partitioned. An empty df is a no-op
-        (returns the current version, no commit)."""
+        (returns the current version, no commit). Duplicate keys in df
+        are NOT collapsed (all land in the new version) — callers
+        wanting SQL MERGE's one-match-per-key contract must dedup the
+        source first, as the stores' batch paths already do."""
         from pyspark.sql import functions as F
 
         v = self.current_version()
