@@ -280,7 +280,10 @@ def dedupe_checkpointed(
                 sigs.filter(F.col("minhash").isNotNull()).select(id_col, "minhash"),
                 "minhash", id_col, cfg,
             )
-            parts.append(pairs_from_buckets(buckets, ["bucket"], id_col, cfg))
+            # dedup=False: the unioned stream is deduplicated once below
+            parts.append(
+                pairs_from_buckets(buckets, ["bucket"], id_col, cfg, dedup=False)
+            )
         if "simhash" in channels:
             sh = sigs.filter(F.col("simhash").isNotNull()).select(id_col, "simhash")
             cand = hamming_candidate_pairs(sh, "simhash", cfg.simhash_hamming_k, id_col, cfg)
@@ -338,9 +341,12 @@ def dedupe_checkpointed(
                 refined, ["fingerprint", "subfp"], id_col, cfg,
                 cap=cfg.max_fp_bucket_size, oversize="star",
             )
-            cand = small_cand.unionByName(sub_cand).dropDuplicates(["a", "b"])
-            return verify_lcs(cand, meta.select(id_col, caption_col), cfg,
-                              caption_col, id_col, impl=cfg.lcs_impl)
+            # sub_cand pairs share the literal L-char window string
+            # (refine_oversized, round 6) — verified by construction,
+            # so only the small-bucket candidates attach captions
+            verified = verify_lcs(small_cand, meta.select(id_col, caption_col),
+                                  cfg, caption_col, id_col, impl=cfg.lcs_impl)
+            return verified.unionByName(sub_cand).dropDuplicates(["a", "b"])
 
         edge_parts.append(store.run_stage("lcs_edges", lcs_fn, config_sig=csig))
 

@@ -73,6 +73,22 @@ class DedupConfig:
 
     # --- connected components ---
     cc_max_iters: int = 50
+    cc_local_max_edges: int = 20_000_000  # dup graphs at or below this
+                                   # edge count run the CC fixpoint in ONE
+                                   # task (numpy min-label propagation,
+                                   # operators/components._cc_local_labels)
+                                   # instead of the iterative distributed
+                                   # loop — the loop costs ~4 shuffles +
+                                   # a driver round-trip per iteration
+                                   # regardless of size, which dominates
+                                   # small dup graphs. 20M edges ≈ 320 MB
+                                   # of id pairs + the label array in one
+                                   # task — seconds of vectorized numpy,
+                                   # well within executor memory; graphs
+                                   # above it take the distributed loop.
+                                   # DATA-adaptive (edge count, measured
+                                   # at runtime), not tuned to any core
+                                   # count; identical labels either way.
     cc_reliable_checkpoint: bool = False  # True: per-iteration frontier goes
                                    # through reliable checkpoint() (survives
                                    # executor loss on a real cluster) instead

@@ -24,10 +24,68 @@ directly buys scaling efficiency at high parallelism.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..config import DedupConfig, DEFAULT
+
+
+def _cc_local_labels(
+    edges: DataFrame, id_col: str, out_col: str
+) -> DataFrame:
+    """Single-task CC over a small edge set (<= cfg.cc_local_max_edges).
+
+    The distributed hash-min loop costs ~4 shuffle stages + one driver
+    round-trip PER ITERATION regardless of graph size — on a dup graph
+    of a few hundred thousand edges that fixed cost dominates the whole
+    clustering phase (measured at sf0.1: ~8-14 s of a ~36 s pipeline
+    for 122k edges). Below the edge cap the graph fits comfortably in
+    one task (16 B/edge + the factorized label array), so we fold the
+    whole fixpoint into ONE stage: a mapInPandas kernel doing
+    vectorized min-label propagation + pointer jumping in numpy.
+    Output is IDENTICAL to the loop: (node, min id of its component)
+    for every edge-touching node. No collect — the kernel runs in an
+    executor task, and the label table it returns is
+    O(edge-touching nodes)."""
+    out_type = edges.schema["a"].dataType.simpleString()
+    schema = f"{id_col} {out_type}, {out_col} {out_type}"
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = False
+        a_parts, b_parts = [], []
+        for pdf in it:
+            if len(pdf):
+                seen = True
+                a_parts.append(pdf["a"].to_numpy())
+                b_parts.append(pdf["b"].to_numpy())
+        if not seen:
+            return
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        # factorize ids -> dense codes; np.unique sorts ascending, so
+        # code order == id order and min-code == min-id per component
+        uniq, codes = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ca, cb = codes[: len(a)], codes[len(a):]
+        p = np.arange(len(uniq), dtype=np.int64)
+        while True:
+            before = p.copy()
+            m = np.minimum(p[ca], p[cb])
+            np.minimum.at(p, ca, m)
+            np.minimum.at(p, cb, m)
+            while True:  # pointer jumping to the current fixpoint
+                pp = p[p]
+                if np.array_equal(pp, p):
+                    break
+                p = pp
+            if np.array_equal(before, p):
+                break
+        yield pd.DataFrame({id_col: uniq, out_col: uniq[p]})
+
+    return edges.select("a", "b").coalesce(1).mapInPandas(kernel, schema=schema)
 
 
 def connected_components(
@@ -39,6 +97,13 @@ def connected_components(
 ) -> DataFrame:
     """edges(a, b) [+ optional nodes(id_col) incl. singletons]
     -> (id_col, out_col) where out_col = min id of the component.
+
+    Scale-adaptive (guide §1.2 "the distributed algorithm" + §2.4
+    "remove shuffles outright"): the edge count picks the execution
+    shape at runtime — small graphs (<= cfg.cc_local_max_edges) run the
+    exact same min-label fixpoint in ONE task (_cc_local_labels),
+    large graphs run the iterative distributed loop below. Both are
+    deterministic and produce identical labels.
     """
     if cfg.cc_reliable_checkpoint:
         sc = edges.sparkSession.sparkContext
@@ -57,6 +122,32 @@ def connected_components(
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
+    # materialize the edge frame once (into the caller's persist when
+    # there is one) and branch on its size
+    from pyspark import StorageLevel
+
+    own_persist = False
+    if edges.storageLevel == StorageLevel.NONE:
+        edges = edges.persist()
+        own_persist = True
+    n_edges = edges.count()
+    if n_edges <= cfg.cc_local_max_edges:
+        # one stage instead of ~4 shuffles x iterations; the label
+        # table is consumed several times downstream, so cut its
+        # (single-task) lineage eagerly — through the reliable
+        # checkpoint when the caller configured one
+        labels = _ckpt(_cc_local_labels(edges, id_col, out_col))
+        connected_components.last_iterations = 0
+        if own_persist:
+            edges.unpersist()
+        result = labels
+        if nodes is not None:
+            all_nodes = nodes.select(F.col(id_col)).distinct()
+            result = all_nodes.join(result, id_col, "left").select(
+                id_col, F.coalesce(out_col, F.col(id_col)).alias(out_col)
+            )
+        return result
+
     sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -69,6 +160,8 @@ def connected_components(
     labels = edge_nodes.withColumn("label", F.col("node"))
     labels = _ckpt(labels)
     sym = _ckpt(sym)
+    if own_persist:
+        edges.unpersist()
 
     iters = 0
     for _ in range(cfg.cc_max_iters):

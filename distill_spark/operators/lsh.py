@@ -73,8 +73,15 @@ def pairs_from_buckets(
     cfg: DedupConfig = DEFAULT,
     cap: int | None = None,
     oversize: str = "star",
+    dedup: bool = True,
 ) -> DataFrame:
-    """-> DataFrame[a, b] (same type as id_col), distinct, a < b.
+    """-> DataFrame[a, b] (same type as id_col), a < b; distinct unless
+    dedup=False.
+
+    dedup=False skips the final dropDuplicates exchange — for callers
+    that union several candidate streams and deduplicate ONCE after the
+    union (guide §2.4: two dedups one step apart shuffle the same pairs
+    twice).
 
     oversize: "star" (default — see precondition in module docstring) or
     "allpairs" (ignore the cap; exact but quadratic per bucket).
@@ -115,7 +122,7 @@ def pairs_from_buckets(
         pairs = small_pairs.unionByName(star)
     if cfg.salt_partitions:
         pairs = pairs.repartition(cfg.salt_partitions, "a", "b")
-    return pairs.dropDuplicates(["a", "b"])
+    return pairs.dropDuplicates(["a", "b"]) if dedup else pairs
 
 
 def pairs_and_overflow(

@@ -111,14 +111,24 @@ def candidate_edges(
         and not meta.sparkSession.sparkContext.master.startswith("local")
     )
 
+    # fold the substring channel's winnowing fingerprints into the one
+    # signature pass (round 6): one Arrow caption scan instead of two
+    merge_winnow = (
+        "substring" in channels
+        and cfg.lcs_impl != "ctx"
+        and cfg.winnow_impl == "numpy"
+    )
     if cfg.sig_impl == "numpy" and need_caption_channels:
         # one vectorized Arrow pass computes shingles + minhash + simhash
-        # with shared tokenization, entirely map-side (no shuffle)
+        # (+ winnowing fingerprints) with shared tokenization/lowercasing,
+        # entirely map-side (no shuffle)
         parts = ["shingles"]
         if "minhash" in channels:
             parts.append("minhash")
         if "simhash" in channels:
             parts.append("simhash")
+        if merge_winnow:
+            parts.append("winnow")
         sigs = with_signatures(meta, caption_col, id_col, cfg, parts=tuple(parts))
         # the signature pass is the expensive stage and feeds many
         # consumers (banding x2 branches, ~11 reads by the recursive
@@ -131,6 +141,7 @@ def candidate_edges(
         # of the ~16 downstream cache scans; measured 38.9 -> ~8 GB of
         # input traffic at 1M rows).
         sigs = sigs.persist()
+        fps_src = sigs if merge_winnow else None
         if wide and "simhash" in channels:
             # the first slim count materializes the fat cache as a side
             # effect (an InMemoryRelation stores whole rows per
@@ -149,6 +160,9 @@ def candidate_edges(
                 .select(id_col, "simhash").persist()
             )
             simhash_sig.count()
+            if merge_winnow:
+                fps_src = sigs.select(id_col, "fps").persist()
+                fps_src.count()
             sigs.unpersist()
         else:
             # narrow mode, or no simhash channel: too few cache reads
@@ -168,6 +182,7 @@ def candidate_edges(
     else:
         from .shingle import tokens_col, shingles_col
 
+        fps_src = None
         base = (
             meta.select(id_col, caption_col)
             .withColumn("tokens", tokens_col(caption_col, cfg))
@@ -197,13 +212,18 @@ def candidate_edges(
                 df for df in (shingled, minhash_sig, simhash_sig)
                 if df is not None
             )
+            if fps_src is not None:
+                sig_cached.append(fps_src)
         else:
             sig_cached.append(sigs)
 
     if minhash_sig is not None:
         buckets = band_buckets(minhash_sig, "minhash", id_col, cfg)
+        # dedup=False: jac_cand dropDuplicates one step below already
+        # deduplicates the unioned candidate stream — one pair shuffle
+        # instead of two (guide §2.4)
         cap_candidates.append(
-            pairs_from_buckets(buckets, ["bucket"], id_col, cfg)
+            pairs_from_buckets(buckets, ["bucket"], id_col, cfg, dedup=False)
         )
 
     if simhash_sig is not None:
@@ -288,12 +308,13 @@ def candidate_edges(
                 refined, ["fingerprint", "subfp"], id_col, cfg,
                 cap=cfg.max_fp_bucket_size, oversize="star",
             )
-            # sub_pairs' only evidence is full-L-window polynomial-hash
-            # (mod 2^64) equality — weaker against structured text than
-            # the xxhash budget the rest of the engine cites — so route
-            # them through the exact caption verify with the unknowns
-            # (round-4 advice; the non-ctx path exact-verifies them too)
-            unknown = unknown.unionByName(sub_pairs).dropDuplicates(["a", "b"])
+            # sub_pairs share the LITERAL L-char window string (round-6
+            # refine_oversized: the sub-bucket key is the window itself,
+            # not a hash) — string equality IS the LCS predicate, so
+            # these pairs are exactly verified by construction and go
+            # straight to the edge set; only the rare `unknown` pairs
+            # still attach captions for the exact verify.
+            edge_parts.append(sub_pairs)
             unknown = unknown.localCheckpoint(eager=True)  # see jac_cand
             fallback_edges = verify_lcs(
                 unknown, meta.select(id_col, caption_col), cfg, caption_col,
@@ -301,9 +322,18 @@ def candidate_edges(
             )
             edge_parts.append(verified.unionByName(fallback_edges))
         else:
-            fp = with_fingerprints(meta.select(id_col, caption_col), caption_col,
-                                   "fp", cfg, impl=cfg.winnow_impl)
-            fpx = fp.select(id_col, F.explode("fp").alias("fingerprint"))
+            if fps_src is not None:
+                # fingerprints already computed by the one-pass signature
+                # stage (merge_winnow) — explode off the cache instead of
+                # running a second Arrow caption scan
+                fpx = fps_src.select(
+                    id_col, F.explode("fps").alias("fingerprint")
+                )
+            else:
+                fp = with_fingerprints(meta.select(id_col, caption_col),
+                                       caption_col, "fp", cfg,
+                                       impl=cfg.winnow_impl)
+                fpx = fp.select(id_col, F.explode("fp").alias("fingerprint"))
             # recall-preserving skew handling: small buckets all-pairs;
             # oversized buckets (popular boilerplate fingerprints) refine to
             # full-L-char-window sub-buckets where star topology is provably
@@ -318,9 +348,21 @@ def candidate_edges(
                 refined, ["fingerprint", "subfp"], id_col, cfg,
                 cap=cfg.max_fp_bucket_size, oversize="star",
             )
+            # round-6 (verdict item #1, the winnow/LCS verify attach):
+            # sub_cand pairs share the LITERAL L-char window string —
+            # refine_oversized now emits the window itself as the
+            # sub-bucket key, so string equality IS the LCS predicate
+            # and these pairs are exactly verified by construction.
+            # They go straight to the edge set; the caption attach +
+            # Arrow LCS stage now runs ONLY on the small-bucket
+            # candidates (where a shared k-gram < L chars is genuinely
+            # weaker evidence than the predicate). Dup-dense corpora
+            # concentrate pairs in oversized buckets, which is exactly
+            # where the 10M probe's 45 GB verify attach came from.
+            edge_parts.append(sub_cand)
+            cand = small_cand
             # eagerly materialized for the same multi-consumer reuse
             # reasons as jac_cand above
-            cand = small_cand.unionByName(sub_cand).dropDuplicates(["a", "b"])
             if wide:
                 cand = cand.localCheckpoint(eager=True)
             edge_parts.append(

@@ -139,6 +139,9 @@ def with_signatures(
     want_mh = "minhash" in parts
     want_sim = "simhash" in parts
 
+    want_fp = "winnow" in parts
+    KW, WW, LW = cfg.winnow_kgram, cfg.winnow_window, cfg.lcs_min_len
+
     lane32 = cfg.minhash_lane_bits == 32
     fields = [T.StructField(id_col, df.schema[id_col].dataType)]
     if want_sh:
@@ -150,6 +153,8 @@ def with_signatures(
         ))
     if want_sim:
         fields.append(T.StructField("simhash", T.LongType()))
+    if want_fp:
+        fields.append(T.StructField("fps", T.ArrayType(T.LongType())))
     schema = T.StructType(fields)
 
     # fast tokenizer: one C-level regex pass over the whole batch joined
@@ -326,6 +331,70 @@ def with_signatures(
                 # int+None to float64 and silently destroy low bits of
                 # values above 2^53
                 out["simhash"] = pd.array(sims, dtype="Int64")
+
+            if want_fp:
+                # winnowing fingerprints, batch-segmented over the same
+                # (already lowercased) captions — identical values to
+                # winnow._with_fingerprints_numpy (same byte-space
+                # polynomial gram hash, same window minima, distinct):
+                # folding them into THIS pass removes a second full
+                # Arrow caption scan from the pipeline (guide §4.1:
+                # every Python stage pays the JVM->Python boundary; the
+                # substring channel's fingerprints ride the one
+                # signature pass instead of paying their own)
+                empty_i = np.empty(0, dtype=np.int64)
+                fpl: list = [empty_i] * n
+                enc = [c.encode("utf-8") for c in caps]
+                ok_doc = np.array(
+                    [len(c) >= LW and len(e) >= KW + WW - 1
+                     for c, e in zip(caps, enc)]
+                )
+                if ok_doc.any():
+                    keep_idx = np.flatnonzero(ok_doc)
+                    bflat = np.frombuffer(
+                        b"".join(enc[i] for i in keep_idx), dtype=np.uint8
+                    ).astype(np.uint64)
+                    lens = np.array([len(enc[i]) for i in keep_idx],
+                                    dtype=np.int64)
+                    starts = np.zeros(len(lens) + 1, dtype=np.int64)
+                    starts[1:] = np.cumsum(lens)
+                    pwW = _pows(KW)[::-1].copy()
+                    gh_all = (
+                        np.lib.stride_tricks.sliding_window_view(bflat, KW)
+                        * pwW
+                    ).sum(axis=1)
+                    n_g = lens - KW + 1
+                    g_starts = np.zeros(len(lens) + 1, dtype=np.int64)
+                    g_starts[1:] = np.cumsum(n_g)
+                    tot_g = int(g_starts[-1])
+                    g_idx = np.repeat(starts[:-1], n_g) + (
+                        np.arange(tot_g) - np.repeat(g_starts[:-1], n_g)
+                    )
+                    ghc = gh_all[g_idx]
+                    n_w = n_g - WW + 1
+                    w_starts = np.zeros(len(lens) + 1, dtype=np.int64)
+                    w_starts[1:] = np.cumsum(n_w)
+                    tot_w = int(w_starts[-1])
+                    mins_all = np.lib.stride_tricks.sliding_window_view(
+                        ghc, WW
+                    ).min(axis=1)
+                    w_idx = np.repeat(g_starts[:-1], n_w) + (
+                        np.arange(tot_w) - np.repeat(w_starts[:-1], n_w)
+                    )
+                    minc = mins_all[w_idx]
+                    m_owner = np.repeat(np.arange(len(lens)), n_w)
+                    order = np.lexsort((minc, m_owner))
+                    ms, mo = minc[order], m_owner[order]
+                    keep = np.ones(len(ms), dtype=bool)
+                    keep[1:] = (ms[1:] != ms[:-1]) | (mo[1:] != mo[:-1])
+                    sel_val = ms[keep].astype(np.int64)
+                    sel_own = mo[keep]
+                    bounds = np.zeros(len(lens) + 1, dtype=np.int64)
+                    bounds[1:] = np.cumsum(np.bincount(sel_own,
+                                                       minlength=len(lens)))
+                    for seg, orig in enumerate(keep_idx):
+                        fpl[int(orig)] = sel_val[bounds[seg]:bounds[seg + 1]]
+                out["fps"] = fpl
 
             yield pd.DataFrame(out)
 

@@ -343,9 +343,10 @@ def refine_oversized(
 
     members: (id, fingerprint) rows of buckets above the cap (from
     lsh.pairs_and_overflow). For each member we locate every occurrence
-    of a k-gram hashing to `fingerprint` in its caption and hash every
-    L-CHAR window (L = lcs_min_len) that fully contains that k-gram.
-    Output: (id, fingerprint, subfp) rows.
+    of a k-gram hashing to `fingerprint` in its caption and emit every
+    L-CHAR window (L = lcs_min_len) that fully contains that k-gram —
+    as the window's ACTUAL (lowercased) string, not a hash.
+    Output: (id, fingerprint, subfp: string) rows.
 
     Guarantees (closing the round-1 star-topology recall hole):
       recall  — a genuine pair (common substring c, |c| >= L chars)
@@ -353,16 +354,33 @@ def refine_oversized(
                 L-char window of c contains it, and both docs enumerate
                 that window (starts are anchored to the occurrence), so
                 they share (f, subfp).
-      star-safe — ALL members of a (f, subfp) bucket contain the same
-                exact L-char substring, so EVERY pair in the bucket
-                (including star hub-spoke pairs) passes verify_lcs;
-                star topology then still produces the right connected
-                components no matter the bucket size.
+      verified by construction — members of a (f, subfp) bucket share
+                the LITERAL L-char substring `subfp` (string equality,
+                zero hash budget), which IS the verify_lcs predicate:
+                every pair in the bucket — all-pairs AND star hub-spoke
+                — is already exactly verified, so the pipeline appends
+                these pairs to the edge set directly instead of
+                shipping two captions per pair into the Arrow LCS
+                verify (round-5 verdict item #1: the verify attach was
+                56% of the 10M wall / 45 GB of shuffle, and dup-dense
+                oversized buckets are exactly where those pairs come
+                from). Until round 6 the sub-bucket key was a
+                polynomial HASH of the window, whose collision budget
+                was judged weaker than xxhash64 against structured
+                text — so every sub-bucket pair took the exact caption
+                verify anyway; the string key removes both the budget
+                and the verify.
 
     Cost is proportional to oversized-bucket membership only (popular
-    boilerplate fingerprints), ~L - kgram window hashes per occurrence;
-    members are grouped first so each caption is scanned ONCE for all
-    of its oversized fingerprints.
+    boilerplate fingerprints), <= L - kgram + 1 window slices per
+    occurrence; members are grouped first so each caption is scanned
+    ONCE for all of its oversized fingerprints. The Arrow stage input
+    is explicitly repartitioned to the session's default parallelism:
+    its input BYTES are tiny (ids + captions of oversized-bucket
+    members), so AQE would otherwise coalesce the upstream exchange to
+    a single task and serialize this channel behind ~seconds of
+    single-task Python (measured 12.9 s at sf0.1 — the hot 10%-of-
+    corpus bucket refined in one task).
     """
     K, L, lower = cfg.winnow_kgram, cfg.lcs_min_len, cfg.lowercase
     from pyspark.sql import types as T
@@ -377,16 +395,13 @@ def refine_oversized(
         [
             T.StructField(id_col, id_type),
             T.StructField(fp_col, T.LongType()),
-            T.StructField(out, T.LongType()),
+            T.StructField(out, T.StringType()),
         ]
     )
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         B = np.uint64(1099511628211)
         pwK = B ** np.arange(K - 1, -1, -1, dtype=np.uint64)
-        # ascending powers for variable-length window hashes:
-        # hash(w) = sum(w[i] * B^(n-1-i)) = dot(reversed(w), asc[:n])
-        asc = B ** np.arange(0, 4 * L + K, dtype=np.uint64)
         for pdf in it:
             oids: list = []
             ofps: list = []
@@ -405,41 +420,45 @@ def refine_oversized(
                 ).sum(axis=1)
                 noncont = (b & 0xC0) != 0x80
                 charidx = np.cumsum(noncont) - 1  # char index of each byte
-                cstart = np.flatnonzero(noncont)  # byte offset of each char
-                nchars = len(cstart)
+                nchars = int(charidx[-1]) + 1
                 if nchars < L:
                     continue
-                cend = np.append(cstart[1:], len(b))  # byte end of each char
-                for fp in fps:
-                    fp_u = np.uint64(int(fp) & 0xFFFFFFFFFFFFFFFF)
-                    pos = np.flatnonzero(gh == fp_u)
-                    if len(pos) == 0:
-                        continue
-                    subs: set = set()
-                    for p in pos:
-                        c0 = int(charidx[p])
-                        c1 = int(charidx[p + K - 1])
-                        lo = max(0, c1 - L + 1)
-                        hi = min(c0, nchars - L)
-                        for st in range(lo, hi + 1):
-                            wb = b[cstart[st] : cend[st + L - 1]]
-                            n = len(wb)
-                            h = (wb[::-1].astype(np.uint64) * asc[:n]).sum()
-                            subs.add(int(h.astype(np.int64)))
-                    for h in subs:
+                # all occurrence positions of ANY of this doc's oversized
+                # fingerprints in one vectorized membership test
+                fps_u = np.array(
+                    [int(f) & 0xFFFFFFFFFFFFFFFF for f in fps], dtype=np.uint64
+                )
+                pos_all = np.flatnonzero(np.isin(gh, fps_u))
+                if len(pos_all) == 0:
+                    continue
+                seen: set = set()
+                for p in pos_all:
+                    fp = int(gh[p].astype(np.int64))
+                    c0 = int(charidx[p])
+                    c1 = int(charidx[p + K - 1])
+                    lo = max(0, c1 - L + 1)
+                    hi = min(c0, nchars - L)
+                    for st in range(lo, hi + 1):
+                        w = s[st : st + L]
+                        if (fp, w) in seen:
+                            continue
+                        seen.add((fp, w))
                         oids.append(rid)
-                        ofps.append(int(fp))
-                        osub.append(h)
+                        ofps.append(fp)
+                        osub.append(w)
             yield pd.DataFrame(
                 {
                     id_col: pd.array(oids, dtype=id_pd_dtype),
                     fp_col: pd.array(ofps, dtype="Int64"),
-                    out: pd.array(osub, dtype="Int64"),
+                    out: pd.array(osub, dtype="string"),
                 }
             )
 
-    return joined.select(id_col, "_fps", caption_col).mapInPandas(
-        batch, schema=schema
+    n_parts = members.sparkSession.sparkContext.defaultParallelism
+    return (
+        joined.select(id_col, "_fps", caption_col)
+        .repartition(n_parts, id_col)
+        .mapInPandas(batch, schema=schema)
     )
 
 
