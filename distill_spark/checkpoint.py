@@ -88,6 +88,10 @@ class CheckpointStore:
                            # the dir-overwrite layout's readers race the
                            # os.replace). Legacy dir-layout stages are
                            # migrated as version 1 on first touch.
+    vacuum_keep: int | None = 8  # versioned backend: auto-vacuum each
+                           # stage after publish, retaining the newest N
+                           # versions (copy-on-write snapshots otherwise
+                           # accumulate per re-run; round-5 advice #2)
 
     def __post_init__(self) -> None:
         os.makedirs(self.base_path, exist_ok=True)
@@ -168,6 +172,11 @@ class CheckpointStore:
         df = fn()
         if table is not None:
             table.publish(df)
+            if self.vacuum_keep:
+                try:
+                    table.vacuum(keep=self.vacuum_keep)
+                except Exception:
+                    pass  # maintenance must never fail the stage
             out = table.read()
         else:
             tmp = path + "._tmp"
@@ -265,6 +274,9 @@ def dedupe_checkpointed(
 
     cols = [id_col, caption_col] + ([phash_col] if phash_col else [])
     meta = images.select(*cols)
+    # per-level hamming refinement persists; released after the edge
+    # stages are parquet-backed (round-5 advice #1)
+    ham_caches: list = []
 
     sigs = store.run_stage(
         "signatures",
@@ -286,7 +298,8 @@ def dedupe_checkpointed(
             )
         if "simhash" in channels:
             sh = sigs.filter(F.col("simhash").isNotNull()).select(id_col, "simhash")
-            cand = hamming_candidate_pairs(sh, "simhash", cfg.simhash_hamming_k, id_col, cfg)
+            cand = hamming_candidate_pairs(sh, "simhash", cfg.simhash_hamming_k,
+                                           id_col, cfg, cache_registry=ham_caches)
             if cfg.simhash_preverify:
                 cand = verify_hamming(cand, sh, "simhash", cfg.simhash_hamming_k, id_col)
             parts.append(cand)
@@ -320,7 +333,9 @@ def dedupe_checkpointed(
             store.run_stage(
                 "phash_edges",
                 lambda: verify_hamming(
-                    hamming_candidate_pairs(ph, phash_col, cfg.phash_hamming_k, id_col, cfg),
+                    hamming_candidate_pairs(ph, phash_col, cfg.phash_hamming_k,
+                                            id_col, cfg,
+                                            cache_registry=ham_caches),
                     ph, phash_col, cfg.phash_hamming_k, id_col,
                 ),
                 config_sig=csig,
@@ -365,6 +380,11 @@ def dedupe_checkpointed(
         return out.dropDuplicates(["a", "b"])
 
     edges = store.run_stage("edges", edges_fn, config_sig=csig, deps=edge_stage_names)
+    for df in ham_caches:  # edge stages are parquet-backed now
+        try:
+            df.unpersist()
+        except Exception:
+            pass
 
     assignments = store.run_stage(
         "assignments",

@@ -86,7 +86,7 @@ class MemoryStore:
     def __init__(self, spark: SparkSession, path: str, cfg: DedupConfig | None = None,
                  dup_jaccard: float = 0.85, conflict_jaccard: float = 0.5,
                  n_buckets: int = 16, embedding_provider=None,
-                 backend: str = "dirs"):
+                 backend: str = "dirs", vacuum_keep: int | None = 8):
         """embedding_provider (embedding.EmbeddingProvider, optional):
         when set, every stored row also persists an `embedding` column
         computed by the provider, and recall() scores similarity as
@@ -96,6 +96,13 @@ class MemoryStore:
         the network-free stand-in. Write-time dedup stays on the exact
         shingle channel either way (its thresholds are calibrated
         there).
+
+        vacuum_keep (versioned backend): auto-vacuum after each commit,
+        retaining the newest N versions — without it every mutation's
+        copy-on-write snapshot accumulates forever, O(commits x table
+        size) disk (round-5 advice #2). Readers pinned to one of the
+        retained versions keep snapshot isolation; None disables (call
+        vacuum() manually).
 
         backend: "dirs" (default) — the atomic parquet-directory layout
         (storeio); "versioned" — the copy-on-write versioned-manifest
@@ -114,6 +121,7 @@ class MemoryStore:
         self.n_buckets = n_buckets
         self.embedding_provider = embedding_provider
         self.backend = backend
+        self.vacuum_keep = vacuum_keep
         os.makedirs(path, exist_ok=True)
         if backend == "versioned":
             from .tableio import VersionedTable
@@ -273,12 +281,20 @@ class MemoryStore:
     def snapshot(self) -> DataFrame:
         return self._raw().drop("bucket")
 
+    def _maybe_vacuum(self) -> None:
+        if self._table is not None and self.vacuum_keep:
+            try:
+                self._table.vacuum(keep=self.vacuum_keep)
+            except Exception:
+                pass  # maintenance must never fail the mutation
+
     def _publish(self, df: DataFrame) -> None:
         """Atomic full overwrite, hash-partitioned on bucket."""
         if "bucket" not in df.columns:
             df = df.withColumn("bucket", self._bucket_expr())
         if self._table is not None:
             self._table.publish(df)
+            self._maybe_vacuum()
             return
         publish_dir(df, self._data_path(), partition_by="bucket")
 
@@ -287,6 +303,7 @@ class MemoryStore:
             df = df.withColumn("bucket", self._bucket_expr())
         if self._table is not None:
             self._table.append(df)
+            self._maybe_vacuum()
             return
         if has_data(self._data_path()) and not self._is_partitioned():
             # Legacy flat layout: appending bucket=N/ subdirs beside flat
@@ -476,7 +493,13 @@ class MemoryStore:
                 .drop("_hit")
             )
             self._replace_buckets(updated, buckets)
-        # inserts always APPEND (bucket-partitioned file move-in)
+        # inserts always APPEND (bucket-partitioned file move-in).
+        # With handlers attached the plan is executed again for the
+        # store event (count + bounded id sample) — persist around the
+        # append+emit so an attached embedding_provider computes
+        # embeddings ONCE, not once per action (round-5 advice).
+        if self._handlers:
+            inserted = inserted.persist()
         self._append(inserted)
 
         dup_local = self.spark.createDataFrame(
@@ -487,6 +510,7 @@ class MemoryStore:
         if self._handlers:
             self._emit_df("store", inserted.select("id"))
             self._emit("duplicate", sorted(all_rejected))
+            inserted.unpersist()
         result = StoreResult(
             stored=inserted,
             duplicates=dup_local,

@@ -93,7 +93,8 @@ def block_buckets(
 
 
 def _refined_value_pairs(
-    vals: DataFrame, k: int, cap: int, max_levels: int
+    vals: DataFrame, k: int, cap: int, max_levels: int,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """vals(val: long, distinct) -> VERIFIED value pairs (va < vb,
     bit_count(va^vb) <= k) with guaranteed recall. Lazy plan — no driver
@@ -158,8 +159,14 @@ def _refined_value_pairs(
         # 1M/4096 ≈ 244 ≤ cap) — at 10M EVERY level-0 bucket exceeds the
         # cap, level 1 is a ~250M-row exchange, and the re-execution
         # filled the disk (round-5 10M probe). Bounded: ≤ max_levels
-        # persists, evicted under pressure / at session end.
+        # persists; callers that pass `cache_registry` (the pipeline,
+        # checkpointed dedupe) collect the handles and unpersist them
+        # once the candidate edges are materialized, so repeated
+        # dedupe() calls in a long-lived session no longer accumulate
+        # cached frames (round-5 advice #1).
         sized = ex.withColumn("_sz", F.count(F.lit(1)).over(w)).persist()
+        if cache_registry is not None:
+            cache_registry.append(sized)
         small = sized.filter((F.col("_sz") >= 2) & (F.col("_sz") <= cap))
         grouped = small.groupBy("key").agg(
             F.sort_array(F.collect_list("val")).alias("_ids")
@@ -192,10 +199,16 @@ def hamming_candidate_pairs(
     id_col: str = "image_id",
     cfg: DedupConfig = DEFAULT,
     max_levels: int = 3,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """All candidate (a, b) pairs possibly within Hamming distance k —
     recall 1.0 by construction at ANY bucket-size distribution (see
-    module docstring). Follow with verify_hamming for exact precision."""
+    module docstring). Follow with verify_hamming for exact precision.
+
+    cache_registry: optional list the per-level persisted refinement
+    frames are appended to; the caller should unpersist them after the
+    candidate pairs are materialized (they leak until session end
+    otherwise)."""
     ids = df.select(F.col(id_col).alias("_hid"), F.col(value_col).alias("val")).filter(
         F.col("val").isNotNull()
     )
@@ -207,7 +220,8 @@ def hamming_candidate_pairs(
         return same.dropDuplicates(["a", "b"])
 
     vals = ids.select("val").distinct()
-    vp = _refined_value_pairs(vals, k, cfg.max_bucket_size, max_levels)
+    vp = _refined_value_pairs(vals, k, cfg.max_bucket_size, max_levels,
+                              cache_registry=cache_registry)
     cross = (
         vp.join(ids.select(F.col("_hid").alias("_ia"), F.col("val").alias("va")), "va")
         .join(ids.select(F.col("_hid").alias("_ib"), F.col("val").alias("vb")), "vb")

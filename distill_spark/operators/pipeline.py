@@ -106,9 +106,15 @@ def candidate_edges(
     # back the barriers. On a multi-executor cluster the semi-join
     # restriction is what keeps the verify attach off the network, so
     # wide stays the cluster default.
+    # `local[N]` / `local` only — NOT `local-cluster[...]`, which runs
+    # real executors with network shuffle and should take the wide
+    # shape (round-5 advice #5)
+    import re as _re
+
+    master = meta.sparkSession.sparkContext.master
     wide = cfg.scale_mode == "wide" or (
         cfg.scale_mode == "auto"
-        and not meta.sparkSession.sparkContext.master.startswith("local")
+        and _re.match(r"local(\[|$)", master) is None
     )
 
     # fold the substring channel's winnowing fingerprints into the one
@@ -226,20 +232,25 @@ def candidate_edges(
             pairs_from_buckets(buckets, ["bucket"], id_col, cfg, dedup=False)
         )
 
+    # aux_cached collects EVERY persisted internal (signature caches +
+    # the hamming per-level refinement frames) so DedupResult.unpersist
+    # can release them — long-lived sessions calling dedupe() repeatedly
+    # no longer leak cached frames (round-5 advice #1)
+    aux_cached: list[DataFrame] = list(sig_cached)
+
     if simhash_sig is not None:
         # exact Hamming filter BEFORE the (heavier) Jaccard verify: block
         # equi-join candidates that agree on one block but are far apart
         # would otherwise flood the shingle join (observed 27x reduction)
         cand = hamming_candidate_pairs(
-            simhash_sig, "simhash", cfg.simhash_hamming_k, id_col, cfg
+            simhash_sig, "simhash", cfg.simhash_hamming_k, id_col, cfg,
+            cache_registry=aux_cached,
         )
         if cfg.simhash_preverify:
             cand = verify_hamming(
                 cand, simhash_sig, "simhash", cfg.simhash_hamming_k, id_col
             )
         cap_candidates.append(cand)
-
-    aux_cached: list[DataFrame] = list(sig_cached)
     jac_cand = None
     if cap_candidates:
         jac_cand = cap_candidates[0]
@@ -279,7 +290,8 @@ def candidate_edges(
 
     if "phash" in channels and phash_col is not None:
         ph = meta.select(id_col, phash_col)
-        cand = hamming_candidate_pairs(ph, phash_col, cfg.phash_hamming_k, id_col, cfg)
+        cand = hamming_candidate_pairs(ph, phash_col, cfg.phash_hamming_k,
+                                       id_col, cfg, cache_registry=aux_cached)
         edge_parts.append(verify_hamming(cand, ph, phash_col, cfg.phash_hamming_k, id_col))
 
     if "substring" in channels:
@@ -316,9 +328,13 @@ def candidate_edges(
             # still attach captions for the exact verify.
             edge_parts.append(sub_pairs)
             unknown = unknown.localCheckpoint(eager=True)  # see jac_cand
+            # semijoin=wide: `unknown` is eagerly materialized above, so
+            # the triple-consume contract holds — in wide (cluster) mode
+            # the caption attach must stay restricted to candidate
+            # members, like the sibling verify below (round-5 advice #4)
             fallback_edges = verify_lcs(
                 unknown, meta.select(id_col, caption_col), cfg, caption_col,
-                id_col, impl="exact",
+                id_col, impl="exact", semijoin=wide,
             )
             edge_parts.append(verified.unionByName(fallback_edges))
         else:

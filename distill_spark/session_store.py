@@ -225,15 +225,21 @@ class SessionStore:
                  default_dedup_jaccard: float = 0.85,
                  default_preserve_recent: int = 10,
                  embedding_provider=None, dedup_cosine: float = 0.95,
-                 backend: str = "dirs"):
+                 backend: str = "dirs", vacuum_keep: int | None = 8):
         """embedding_provider (embedding.EmbeddingProvider, optional):
         when set, entries persist an `embedding` column and the push
         dedup probe becomes embedding cosine >= dedup_cosine — the
         reference's isDuplicate similarity (sqlite.go:441-481) — via
         the same linear probe it uses (sessions are bounded, reference
         TODO <1K entries; the collect is loudly guarded). Without a
-        provider the LSH shingle probe is the network-free default."""
+        provider the LSH shingle probe is the network-free default.
+
+        vacuum_keep (versioned backend): auto-vacuum after each commit,
+        retaining the newest N versions — the per-push copy-on-write
+        snapshots otherwise accumulate O(pushes x table size) disk
+        (round-5 advice #2). None disables."""
         self.spark, self.path = spark, path
+        self.vacuum_keep = vacuum_keep
         # 64-bit lanes: persisted array<bigint> sigs (see MemoryStore)
         from dataclasses import replace as _replace
         self.cfg = _replace(cfg or DedupConfig(), minhash_lane_bits=64)
@@ -316,6 +322,11 @@ class SessionStore:
             # df may lazily read the current version's files (never
             # deleted by a writer), so no pre-materialization needed
             self._table.publish(df)
+            if self.vacuum_keep:
+                try:
+                    self._table.vacuum(keep=self.vacuum_keep)
+                except Exception:
+                    pass  # maintenance must never fail the mutation
             return
         # crash-safe atomic swap with startup recovery (storeio): a crash
         # between the two renames leaves entries at `._old`, restored by

@@ -1,0 +1,214 @@
+"""Round-6 optimization invariants.
+
+Each optimization that changed an operator's internals gets a focused
+equivalence/behavior test here:
+  1. connected_components: the single-task numpy fixpoint (small graphs)
+     must produce labels identical to the distributed loop.
+  2. with_signatures(parts=... "winnow"): merged-pass fingerprints must
+     be bit-identical to the standalone winnow pass.
+  3. refine_oversized: sub-bucket keys are the literal L-char window
+     strings (verified-by-construction pairs), and the substring
+     channel's edges/components are unchanged vs the verify-everything
+     formulation.
+  4. hamming cache_registry: per-level persists are handed to the
+     caller and released by DedupResult.unpersist (round-5 advice #1).
+  5. versioned stores auto-vacuum after commits (round-5 advice #2).
+"""
+
+import random
+from dataclasses import replace
+
+import pytest
+from pyspark.sql import functions as F
+
+from distill_spark.config import DedupConfig
+from distill_spark.operators import dedupe
+from distill_spark.operators.components import connected_components
+
+
+def _graph_edges(spark, with_strings=False):
+    rng = random.Random(7)
+    edges = []
+    for i in range(0, 2000, 4):  # chains of 4 -> deep pointer jumping
+        edges += [(i, i + 1), (i + 1, i + 2), (i + 2, i + 3)]
+    edges += [(50000, 50000 + j) for j in range(1, 300)]  # star hub
+    edges += [(rng.randrange(4000), rng.randrange(4000)) for _ in range(1500)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    if with_strings:
+        df = df.selectExpr("format_string('n%06d', a) as a",
+                           "format_string('n%06d', b) as b")
+    return df
+
+
+def test_cc_local_matches_distributed(spark):
+    edges = _graph_edges(spark)
+    nodes = spark.range(0, 4500).selectExpr("id as image_id")
+    out = {}
+    for tag, cfg in [
+        ("local", DedupConfig(cc_local_max_edges=10**9)),
+        ("dist", DedupConfig(cc_local_max_edges=0)),
+    ]:
+        res = connected_components(edges, nodes=nodes, id_col="image_id", cfg=cfg)
+        out[tag] = sorted((r["image_id"], r["component"]) for r in res.collect())
+    assert out["local"] == out["dist"]
+    # the local path must not have taken the iterative loop
+    cfg = DedupConfig(cc_local_max_edges=10**9)
+    connected_components(edges, id_col="image_id", cfg=cfg).collect()
+    assert connected_components.last_iterations == 0
+
+
+def test_cc_local_matches_distributed_string_ids(spark):
+    edges = _graph_edges(spark, with_strings=True)
+    out = {}
+    for tag, cfg in [
+        ("local", DedupConfig(cc_local_max_edges=10**9)),
+        ("dist", DedupConfig(cc_local_max_edges=0)),
+    ]:
+        res = connected_components(edges, id_col="image_id", cfg=cfg)
+        out[tag] = sorted((r["image_id"], r["component"]) for r in res.collect())
+    assert out["local"] == out["dist"]
+
+
+def test_merged_winnow_fingerprints_identical(spark):
+    from distill_spark.operators.signatures import with_signatures
+    from distill_spark.operators.winnow import with_fingerprints
+
+    cfg = DedupConfig()
+    rng = random.Random(3)
+    words = ["".join(rng.choice("abcdefghij") for _ in range(6))
+             for _ in range(50)]
+    rows = [(i, " ".join(rng.choice(words)
+                         for _ in range(rng.randint(0, 40))))
+            for i in range(300)]
+    rows += [(300, "héllo wörld " * 5), (301, ""), (302, None),
+             (303, "short"), (304, "x" * 23), (305, "y" * 24),
+             (306, "ZZ " + "SameGram" * 3 + " xx " + "samegram" * 3)]
+    df = spark.createDataFrame(rows, "image_id long, caption string")
+    old = {(r["image_id"], f)
+           for r in with_fingerprints(df, "caption", "fp", cfg).collect()
+           for f in (r["fp"] or [])}
+    new = {(r["image_id"], f)
+           for r in with_signatures(
+               df, "caption", "image_id", cfg,
+               parts=("shingles", "minhash", "simhash", "winnow")).collect()
+           for f in (r["fps"] or [])}
+    assert old == new
+
+
+def test_refine_emits_literal_windows(spark):
+    from distill_spark.operators.winnow import refine_oversized
+
+    cfg = DedupConfig()
+    L = cfg.lcs_min_len
+    boiler = "The Shared Boilerplate Prefix Sentence Here"
+    rows = [(i, boiler + f" unique tail {i}") for i in range(5)]
+    captions = spark.createDataFrame(rows, "image_id long, caption string")
+    # fingerprints of doc 0 (all docs share the boilerplate's selected
+    # fingerprints inside it)
+    from distill_spark.operators.winnow import with_fingerprints
+
+    fps = with_fingerprints(captions, "caption", "fp", cfg).collect()
+    shared = set.intersection(*[set(r["fp"]) for r in fps])
+    assert shared, "planted boilerplate must share a selected fingerprint"
+    members = spark.createDataFrame(
+        [(r["image_id"], f) for r in fps for f in shared],
+        "image_id long, fingerprint long",
+    )
+    refined = refine_oversized(members, captions, cfg).collect()
+    assert refined, "refinement must emit sub-buckets"
+    for r in refined:
+        w = r["subfp"]
+        assert isinstance(w, str) and len(w) == L
+        # the emitted key IS a literal substring of the lowercased doc
+        cap = dict(rows)[r["image_id"]].lower()
+        assert w in cap
+
+
+def test_substring_edges_unchanged_by_subbucket_shortcut(spark):
+    """The direct-append of refined-bucket pairs must not change the
+    substring channel's verified edge set: every direct edge satisfies
+    the exact LCS predicate, and the channel's components match the
+    brute-force oracle."""
+    cfg = replace(DedupConfig(), max_fp_bucket_size=2)  # force refinement
+    rng = random.Random(13)
+    boiler = "common boilerplate segment shared by the dup family"
+    rows = [(f"d{i:03d}", boiler + " tail " + "".join(
+        rng.choice("abcdefgh") for _ in range(12))) for i in range(30)]
+    rows += [(f"u{i:03d}", " ".join("".join(rng.choice("pqrstuvw")
+                                            for _ in range(8))
+                                    for _ in range(10))) for i in range(30)]
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+    res = dedupe(df, cfg, channels=("substring",), phash_col=None)
+    edges = [(r["a"], r["b"]) for r in res.edges.collect()]
+    caps = dict(rows)
+    L = cfg.lcs_min_len
+
+    def lcs_ge(a, b):
+        a, b = caps[a].lower(), caps[b].lower()
+        wins = {a[i:i + L] for i in range(len(a) - L + 1)}
+        return any(b[i:i + L] in wins for i in range(len(b) - L + 1))
+
+    assert edges, "planted family must produce edges"
+    for a, b in edges:
+        assert lcs_ge(a, b), f"unverified edge {a},{b}"
+    comps = {r["image_id"]: r["component"]
+             for r in res.assignments.collect()}
+    # all 30 family members share one component; no unique row joins it
+    fam = {comps[f"d{i:03d}"] for i in range(30)}
+    assert len(fam) == 1
+    for i in range(30):
+        assert comps[f"u{i:03d}"] not in fam
+    res.unpersist()
+
+
+def test_hamming_cache_registry_released(spark):
+    from distill_spark.operators.hamming import hamming_candidate_pairs
+
+    rng = random.Random(5)
+    rows = [(i, rng.getrandbits(63)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, phash long")
+    reg: list = []
+    pairs = hamming_candidate_pairs(df, "phash", 4, id_col="id",
+                                    cfg=DedupConfig(), cache_registry=reg)
+    pairs.count()
+    assert reg, "per-level persists must be registered"
+    from pyspark import StorageLevel
+
+    assert all(d.storageLevel != StorageLevel.NONE for d in reg)
+    for d in reg:
+        d.unpersist()
+    assert all(d.storageLevel == StorageLevel.NONE for d in reg)
+
+
+def test_dedupe_releases_hamming_caches(spark):
+    from distill_spark.datagen import generate_images
+    from pyspark import StorageLevel
+
+    df, _ = generate_images(spark, n=300, seed=4)
+    res = dedupe(df, DedupConfig())
+    res.assignments.count()
+    cached = [d for d in res.aux_cached
+              if d.storageLevel != StorageLevel.NONE]
+    assert cached, "pipeline must register its persisted internals"
+    res.unpersist()
+    assert all(d.storageLevel == StorageLevel.NONE for d in res.aux_cached)
+
+
+def test_versioned_stores_auto_vacuum(spark, tmp_path):
+    import os
+
+    from distill_spark.memory import MemoryStore
+
+    store = MemoryStore(spark, str(tmp_path / "mem"), backend="versioned",
+                        vacuum_keep=2)
+    for i in range(4):
+        batch = spark.createDataFrame(
+            [(f"m{i}_{j}", f"text {i} {j} unique payload") for j in range(3)],
+            "id string, text string",
+        )
+        store.store_batch(batch)
+    vdir = os.path.join(str(tmp_path / "mem"), "memories", "_v")
+    manifests = [f for f in os.listdir(vdir) if f.endswith(".json")]
+    assert len(manifests) <= 2, f"auto-vacuum left {manifests}"
+    # store still readable after vacuum
+    assert store.snapshot().count() == 12
