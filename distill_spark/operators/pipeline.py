@@ -173,7 +173,13 @@ def candidate_edges(
         else:
             # narrow mode, or no simhash channel: too few cache reads
             # for the split to pay for its materialization jobs — serve
-            # consumers straight off the fat cache (round-3 shape)
+            # consumers straight off the fat cache (round-3 shape).
+            # The cache is materialized EAGERLY: its ~5 independent AQE
+            # consumer subtrees otherwise race to build it and each
+            # re-runs the full Arrow signature scan (round-6 timeline:
+            # five concurrent 22-task copies of the same stage, ~23 s of
+            # the sf0.1 wall; one eager pass costs ~4 s).
+            sigs.count()
             shingled = sigs.select(id_col, "shingles")
             minhash_sig = (
                 sigs.filter(F.col("minhash").isNotNull()).select(id_col, "minhash")

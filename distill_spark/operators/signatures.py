@@ -50,8 +50,15 @@ _B = np.uint64(1099511628211)  # FNV prime as polynomial base
 _POW_CACHE: dict[int, np.ndarray] = {}
 
 # cap on the flat shingle-chunk size for the (num_perm x chunk) MinHash
-# matrix: 64k shingles x 128 perms x 8 B = 64 MB working set per chunk
-_MH_CHUNK = 65536
+# matrix. 8k shingles x 128 perms x 8 B = 8 MB working set per chunk —
+# small enough to stay cache-resident per worker. The earlier 64k cap
+# (64 MB working set) thrashed the shared LLC once the signature stage
+# ran at full core width: each (a*x+b) % P pass re-streamed the matrix
+# from DRAM, and with 32 concurrent Python workers the stage became
+# memory-bandwidth-bound (guide §2.3 "narrower types"/working-set
+# discipline; measured 283 s summed task time at chunk=64k vs 8 MB
+# keeping the elementwise passes in cache).
+_MH_CHUNK = 8192
 
 
 def _pows(n: int) -> np.ndarray:
@@ -398,4 +405,16 @@ def with_signatures(
 
             yield pd.DataFrame(out)
 
-    return df.select(id_col, caption_col).mapInPandas(batch, schema=schema)
+    src = df.select(id_col, caption_col)
+    # scan-parallelism floor (guide §2.5 input skew / §6 split sizing):
+    # this is the pipeline's heaviest Python stage, and its parallelism
+    # is otherwise capped by the input's split count — a table with few
+    # row groups (e.g. the 100k bench table: 7 non-empty splits) runs it
+    # ~7-wide on 32 cores. When the planned scan has fewer partitions
+    # than the cluster's cores, one cheap hash repartition of the
+    # (id, caption) projection unlocks full-width execution; inputs
+    # with enough splits (any real at-scale table) skip the shuffle.
+    n_par = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < n_par:
+        src = src.repartition(n_par, id_col)
+    return src.mapInPandas(batch, schema=schema)
