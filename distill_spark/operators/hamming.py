@@ -47,16 +47,25 @@ from .lsh import pairs_from_buckets, _allpairs_expr
 _SCATTER_SEED = 0xD15C0
 
 
+def bit_scatter_sql(col: str, seed: int = _SCATTER_SEED) -> str:
+    """SQL text of the fixed seeded bit permutation of a 64-bit column.
+    Built as ONE expression string: the earlier per-bit Column-API chain
+    issued ~4 py4j round-trips per bit (~256 per call, ~0.4 s of pure
+    driver-side socket chatter per channel — measured by cProfile)."""
+    perm = np.random.default_rng(seed).permutation(64)
+    return " | ".join(
+        f"shiftleft(shiftrightunsigned({col}, {int(src)}) & 1L, {i})"
+        for i, src in enumerate(perm)
+    )
+
+
 def bit_scatter(col: Column, seed: int = _SCATTER_SEED) -> Column:
     """Fixed seeded bit permutation of a 64-bit value (JVM-side).
     Hamming-distance preserving; used only for bucketing — verification
-    always runs on original values."""
-    perm = np.random.default_rng(seed).permutation(64)
-    out = F.lit(0).cast("long")
-    for i, src in enumerate(perm):
-        bit = F.shiftrightunsigned(col, int(src)).bitwiseAND(F.lit(1).cast("long"))
-        out = out.bitwiseOR(F.shiftleft(bit, i))
-    return out
+    always runs on original values. Accepts a simple column reference
+    (the expression is assembled as SQL text, see bit_scatter_sql)."""
+    name = col if isinstance(col, str) else col._jc.toString()
+    return F.expr(bit_scatter_sql(name, seed))
 
 
 def _block_bounds(bits: int, n_blocks: int) -> list[tuple[int, int]]:
@@ -110,46 +119,44 @@ def _refined_value_pairs(
     from pyspark.sql import Window
 
     nb = k + 1
-    pend = vals.select(
+    # bucket key: a FOLDED 8-byte hash of the (level, block, bits)
+    # path instead of a growing ':'-joined string — a hash collision
+    # merely MERGES two buckets, which only ADDS candidate pairs
+    # (removed by the in-task exact Hamming verify), so recall is
+    # unaffected while every refinement exchange ships longs.
+    # All level projections are assembled as SQL TEXT (selectExpr): the
+    # Column-API formulation issued ~150 py4j round-trips per level x
+    # channel (~1 s of driver-side socket chatter per dedupe call,
+    # measured by cProfile) for identical plans.
+    pend = vals.selectExpr(
         "val",
-        # bucket key: a FOLDED 8-byte hash of the (level, block, bits)
-        # path instead of a growing ':'-joined string — a hash collision
-        # merely MERGES two buckets, which only ADDS candidate pairs
-        # (removed by the in-task exact Hamming verify), so recall is
-        # unaffected while every refinement exchange ships longs
-        F.lit(0).cast("long").alias("key"),
-        bit_scatter(F.col("val")).alias("rv"),
-        F.lit(64).cast("int").alias("nbits"),
+        "CAST(0 AS LONG) AS key",
+        f"({bit_scatter_sql('val')}) AS rv",
+        "CAST(64 AS INT) AS nbits",
     )
-    blocks = F.expr(
-        f"""
+    blocks_sql = f"""
         transform(sequence(0, {nb - 1}), i -> named_struct(
           'blk', CAST(i AS INT),
           'off', CAST(i * (nbits DIV {nb}) + least(i, nbits % {nb}) AS INT),
           'w',   CAST((nbits DIV {nb}) + IF(i < nbits % {nb}, 1, 0) AS INT)))
         """
-    )
     level_pairs: list[DataFrame] = []
     w = Window.partitionBy("key")
     for _level in range(max_levels):
-        ex = pend.select("val", "key", "rv", "nbits", F.explode(blocks).alias("s"))
-        ex = ex.select(
+        ex = pend.selectExpr(
+            "val", "key", "rv", "nbits", f"explode({blocks_sql}) AS s"
+        )
+        ex = ex.selectExpr(
             "val",
-            F.xxhash64(
-                F.col("key"),
-                F.col("s.blk"),
-                F.expr(
-                    "shiftrightunsigned(rv, s.off) & (shiftleft(1L, s.w) - 1)"
-                ),
-            ).alias("key"),
-            F.expr(
-                """
-                (CASE WHEN s.off + s.w >= 64 THEN 0L
-                      ELSE shiftleft(shiftrightunsigned(rv, s.off + s.w), s.off)
-                 END) | (rv & (shiftleft(1L, s.off) - 1))
-                """
-            ).alias("rv"),
-            (F.col("nbits") - F.col("s.w")).alias("nbits"),
+            "xxhash64(key, s.blk,"
+            " shiftrightunsigned(rv, s.off) & (shiftleft(1L, s.w) - 1)"
+            ") AS key",
+            """
+            ((CASE WHEN s.off + s.w >= 64 THEN 0L
+                   ELSE shiftleft(shiftrightunsigned(rv, s.off + s.w), s.off)
+              END) | (rv & (shiftleft(1L, s.off) - 1))) AS rv
+            """,
+            "nbits - s.w AS nbits",
         )
         # each level's window exchange feeds TWO lazy branches (the
         # small-bucket pair expansion AND the next level's pend), and
