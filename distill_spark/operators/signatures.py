@@ -323,12 +323,22 @@ def with_signatures(
                 sims: list = [None] * n
                 has_tok = np.flatnonzero(nt > 0)
                 if len(th_all) and has_tok.size:
-                    b01 = (
-                        (th_all[:, None] >> bit_idx[None, :]) & np.uint64(1)
-                    ).astype(np.int64)
+                    # bit matrix via unpackbits on the little-endian byte
+                    # view: column j == bit j of the token hash. uint8 ->
+                    # int16 keeps the (tokens x 64) working set 4-8x
+                    # smaller than the previous int64 shift-matrix (this
+                    # was ~60% of the kernel's memory traffic); int16
+                    # accumulation is safe while no doc exceeds 32k
+                    # tokens — int32 fallback above that.
+                    acc_t = np.int16 if int(nt.max()) < 30000 else np.int32
+                    b01 = np.unpackbits(
+                        np.ascontiguousarray(th_all).view(np.uint8)
+                        .reshape(-1, 8),
+                        axis=1, bitorder="little",
+                    )[:, :bits].astype(acc_t)
                     bounds = tok_starts[has_tok]
                     ones = np.add.reduceat(b01, bounds, axis=0)
-                    sums = 2 * ones - nt[has_tok][:, None]
+                    sums = 2 * ones.astype(np.int64) - nt[has_tok][:, None]
                     bitsv = (sums > 0).astype(np.uint64)
                     packed = (bitsv * two_pow[None, :]).sum(axis=1)
                     packed64 = packed.astype(np.int64)
