@@ -146,9 +146,8 @@ def candidate_edges(
         # shingle+minhash payload through the memory bus on every one
         # of the ~16 downstream cache scans; measured 38.9 -> ~8 GB of
         # input traffic at 1M rows).
-        sigs = sigs.persist()
-        fps_src = sigs if merge_winnow else None
         if wide and "simhash" in channels:
+            sigs = sigs.persist()
             # the first slim count materializes the fat cache as a side
             # effect (an InMemoryRelation stores whole rows per
             # partition on first scan), so no separate sigs.count()
@@ -166,20 +165,30 @@ def candidate_edges(
                 .select(id_col, "simhash").persist()
             )
             simhash_sig.count()
+            fps_src = None
             if merge_winnow:
                 fps_src = sigs.select(id_col, "fps").persist()
                 fps_src.count()
             sigs.unpersist()
         else:
-            # narrow mode, or no simhash channel: too few cache reads
-            # for the split to pay for its materialization jobs — serve
-            # consumers straight off the fat cache (round-3 shape).
-            # The cache is materialized EAGERLY: its ~5 independent AQE
-            # consumer subtrees otherwise race to build it and each
-            # re-runs the full Arrow signature scan (round-6 timeline:
-            # five concurrent 22-task copies of the same stage, ~23 s of
-            # the sf0.1 wall; one eager pass costs ~4 s).
-            sigs.count()
+            # narrow mode, or no simhash channel: serve all consumers
+            # off ONE eagerly-materialized signature frame. This is a
+            # localCheckpoint, not persist+count, for two reasons found
+            # in the round-6 stage timelines: (a) a lazy persist's ~5
+            # independent AQE consumer subtrees race to build the cache
+            # and each re-runs the full Arrow signature scan (five
+            # concurrent copies of the same 22-task stage, ~23 s of the
+            # sf0.1 wall); (b) far worse, AQE NEVER reuses an exchange
+            # whose lineage contains a Python map node — mapInPandas
+            # does not canonicalize, so two branches consuming the same
+            # bucket exchange each re-executed it EVEN THROUGH a
+            # materialized cache (minimal repro: a window-sized union
+            # over a cached mapInPandas source runs its 15 MB exchange
+            # once per branch; over a localCheckpoint it runs once).
+            # Truncating the lineage to an RDD scan restores exchange
+            # reuse for every downstream shuffle in the pipeline.
+            sigs = sigs.localCheckpoint(eager=True)
+            fps_src = sigs if merge_winnow else None
             shingled = sigs.select(id_col, "shingles")
             minhash_sig = (
                 sigs.filter(F.col("minhash").isNotNull()).select(id_col, "minhash")
