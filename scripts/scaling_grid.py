@@ -132,6 +132,32 @@ def main() -> None:
             print(json.dumps(r), flush=True)
         flush()
 
+    # near-the-line hardening (round-5 verdict #5): when the n=3 gate
+    # ratio lands within ±DISTILL_GATE_BAND (default 0.05) of the 0.8
+    # line, the two GATE levels get topped up to n=5 interleaved
+    # samples before the verdict stands. Override the band with
+    # DISTILL_GATE_BAND, disable with DISTILL_GATE_BAND=0.
+    band = float(os.environ.get("DISTILL_GATE_BAND", "0.05"))
+    gate_levels = [c for c in (2, 8) if c in samples]
+    if band > 0 and len(gate_levels) == 2 and all(samples[c] for c in gate_levels):
+        def _eff():
+            t2 = min(r["sec"] for r in samples[2])
+            t8 = min(r["sec"] for r in samples[8])
+            return (t2 / t8) / 4
+
+        while abs(_eff() - 0.8) <= band and any(
+            len(samples[c]) < 5 for c in gate_levels
+        ):
+            for c in gate_levels:
+                if len(samples[c]) < 5:
+                    r = run(c)
+                    r["rep"] = f"gate-topup-{len(samples[c])}"
+                    samples[c].append(r)
+                    with open(OUT, "a") as f:
+                        f.write(json.dumps(r) + "\n")
+                    print(json.dumps(r), flush=True)
+            flush()
+
 
 if __name__ == "__main__":
     main()
