@@ -71,7 +71,11 @@ class DedupResult:
     def unpersist(self) -> None:
         """Release the caches dedupe() created (edges + signature +
         candidate stages); long sessions running many dedupe() calls
-        should call this."""
+        should call this. Note: eagerly localCheckpoint-ed internals
+        (the narrow-mode signature frame, candidate pair frames) are
+        block-backed RDDs, not catalog caches — their blocks are freed
+        by Spark's ContextCleaner once this result object is dropped;
+        unpersist() is a no-op for them by design."""
         for df in (self.cached, self.edges, *self.aux_cached):
             if df is not None:
                 try:

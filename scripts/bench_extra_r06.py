@@ -1,0 +1,187 @@
+"""Round-6 measurement harnesses (supplement to the frozen bench.py).
+
+Three probes, selected by the first argument; numbers cited in
+OPTIMIZATION_r06.md / BENCH.md round-6 section come from these.
+
+  timeline  — wall-clock stage timeline of one dedupe_full headline run
+              at sf0.1/local[32]: per-stage submission offset, duration,
+              tasks, run/cpu time, shuffle and input bytes (the view
+              that localized the CC tail, the signature cache race, the
+              single-task refine straggler and the duplicated
+              exchanges).
+  reuse     — shuffle-write accounting for ONE edges action: lists every
+              stage writing >30 MB so duplicated executions of the same
+              exchange are visible (the AQE exchange-reuse defect:
+              mapInPandas lineage does not canonicalize).
+  ab1m <repo_root> <tag> [substring] — full dedupe() (or the substring
+              channel only) at 1M rows in a fresh session: wall, edge /
+              assignment count plus an order-insensitive
+              bit_xor(xxhash64(...)) fingerprint (equivalence check),
+              total shuffle bytes and task time. Run once against HEAD
+              and once against a round-start worktree for the A/B.
+
+Usage:
+  python scripts/bench_extra_r06.py timeline
+  python scripts/bench_extra_r06.py reuse
+  python scripts/bench_extra_r06.py ab1m /root/repo new
+  python scripts/bench_extra_r06.py ab1m /tmp/before_worktree old substring
+"""
+
+import json
+import sys
+import time
+import urllib.request
+from datetime import datetime, timezone
+
+MODE = sys.argv[1] if len(sys.argv) > 1 else "timeline"
+ROOT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo"
+sys.path.insert(0, ROOT)
+PORT = 4059
+
+
+def _get(url):
+    with urllib.request.urlopen(url) as r:
+        return json.loads(r.read())
+
+
+def _stages():
+    app = _get(f"http://localhost:{PORT}/api/v1/applications")[0]["id"]
+    return _get(
+        f"http://localhost:{PORT}/api/v1/applications/{app}/stages?status=complete"
+    )
+
+
+def _spark(cores=32):
+    from distill_spark.session import get_spark
+
+    return get_spark(
+        "bench_extra_r06", cores=cores, shuffle_partitions=2 * cores,
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": str(PORT)},
+    )
+
+
+def _ts(s):
+    return datetime.strptime(s, "%Y-%m-%dT%H:%M:%S.%f%Z").replace(
+        tzinfo=timezone.utc).timestamp()
+
+
+def timeline():
+    from distill_spark.config import DedupConfig
+    from distill_spark.operators import dedupe
+
+    sys.path.insert(0, "/root/repo")
+    from bench import ensure_images
+
+    spark = _spark()
+    cfg = DedupConfig()
+    images = spark.read.parquet(ensure_images(spark, 100_000))
+    warm = images.limit(2000).cache()
+    warm.count()
+    dedupe(warm, cfg).assignments.count()
+    warm.unpersist()
+    spark.catalog.clearCache()
+    t0 = time.time()
+    dedupe(images, cfg).assignments.count()
+    wall = time.time() - t0
+    print(f"WALL {wall:.1f}s", flush=True)
+    rows = []
+    for s in _stages():
+        if "submissionTime" not in s or "completionTime" not in s:
+            continue
+        rows.append((_ts(s["submissionTime"]),
+                     _ts(s["completionTime"]) - _ts(s["submissionTime"]), s))
+    rows.sort()
+    end = max(r[0] + r[1] for r in rows)
+    start = end - wall - 2
+    for sub, dur, s in rows:
+        if sub < start:
+            continue
+        print(f"{sub-start:7.2f} +{dur:6.2f}s tasks={s['numCompleteTasks']:>4} "
+              f"run={s['executorRunTime']/1000:6.1f}s "
+              f"cpu={s.get('executorCpuTime',0)/1e9:6.1f}s "
+              f"sr={s['shuffleReadBytes']/1e6:7.1f}MB "
+              f"sw={s['shuffleWriteBytes']/1e6:7.1f}MB "
+              f"in={s['inputBytes']/1e6:7.1f}MB", flush=True)
+
+
+def reuse():
+    from distill_spark.config import DedupConfig
+    from distill_spark.operators.pipeline import candidate_edges
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo")
+    from bench import ensure_images
+
+    spark = _spark()
+    cfg = DedupConfig()
+    images = spark.read.parquet(ensure_images(spark, 100_000))
+    meta_i = images.select("image_id", "caption", "phash").withColumn(
+        "image_id", F.xxhash64("image_id"))
+    edges, _, _ = candidate_edges(meta_i, cfg)
+    t0 = time.time()
+    n = edges.count()
+    print("edges", n, "wall", round(time.time() - t0, 1), flush=True)
+    for s in sorted(_stages(), key=lambda s: s["stageId"]):
+        if s["shuffleWriteBytes"] > 30e6:
+            print("stage", (s["stageId"], round(s["shuffleWriteBytes"]/1e6, 1),
+                            s["numCompleteTasks"],
+                            round(s["executorRunTime"]/1000, 1)), flush=True)
+
+
+def ab1m():
+    from distill_spark.config import DedupConfig
+    from pyspark.sql import functions as F
+
+    tag = sys.argv[3] if len(sys.argv) > 3 else "run"
+    substring_only = len(sys.argv) > 4 and sys.argv[4] == "substring"
+    spark = _spark()
+    cfg = DedupConfig()
+    images = spark.read.parquet(
+        "/tmp/distill_bench/images_n1000000_seed42.parquet")
+    t0 = time.time()
+    if substring_only:
+        from distill_spark.operators.pipeline import candidate_edges
+
+        meta_i = images.select("image_id", "caption").withColumn(
+            "image_id", F.xxhash64("image_id"))
+        edges, _, _ = candidate_edges(meta_i, cfg, phash_col=None,
+                                      channels=("substring",))
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).collect()[0]
+    else:
+        from distill_spark.operators import dedupe
+
+        warm = images.limit(2000).cache()
+        warm.count()
+        r = dedupe(warm, cfg)
+        r.assignments.count()
+        r.unpersist()
+        warm.unpersist()
+        spark.catalog.clearCache()
+        t0 = time.time()
+        res = dedupe(images, cfg)
+        row = res.assignments.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(image_id, component))").alias("h"),
+        ).collect()[0]
+    wall = time.time() - t0
+    st = _stages()
+    print(json.dumps({
+        "tag": tag, "substring_only": substring_only,
+        "wall_s": round(wall, 1), "n": row["n"], "hash": int(row["h"]),
+        "shuf_read_gb": round(sum(s["shuffleReadBytes"] for s in st)/1e9, 2),
+        "shuf_write_gb": round(sum(s["shuffleWriteBytes"] for s in st)/1e9, 2),
+        "task_run_s": round(sum(s["executorRunTime"] for s in st)/1000, 1),
+    }))
+
+
+if MODE == "timeline":
+    timeline()
+elif MODE == "reuse":
+    reuse()
+elif MODE == "ab1m":
+    ab1m()
+else:
+    raise SystemExit(f"unknown mode {MODE!r}")
